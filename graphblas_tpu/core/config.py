@@ -1,0 +1,91 @@
+"""Global runtime state + burble tracing.
+
+Reference: Source/GB_Global.c (global mode, hyper/bitmap switches, burble,
+malloc tracking) and Source/GB_init.c.  On TPU there is no malloc machinery
+to manage — XLA owns memory — so the global state reduces to tunables,
+format-switch thresholds, the burble diagnostic stream, and mode.
+
+``burble`` replicates the reference's GBURBLE diagnostics (Source/
+GB_AxB_saxpy.c:147-165): every op logs its chosen method/format so users can
+see why a kernel was picked.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from typing import Callable
+
+
+@dataclasses.dataclass
+class _Global:
+    initialized: bool = False
+    # blocking (ops finalize pending work eagerly) vs nonblocking.
+    blocking: bool = False
+    burble: bool = False
+    printf: Callable[[str], None] = lambda s: print(s, file=sys.stderr)
+    # format auto-switch thresholds (reference: GB_Global.c:124-141;
+    # hyper_switch default 1/16, bitmap_switch dimension-dependent).
+    bitmap_switch: float = 0.10   # nvals/(nrows*ncols) above which -> bitmap
+    hyper_switch: float = 1.0 / 16.0  # nvec_nonempty/nvec below which -> hyper
+    # default orientation for new matrices ('row' == CSR, like the reference
+    # default GrB_init is_csc=false; Source/GB_init.c).
+    format_default: str = "row"
+    # chunk: work per "task"; TPU analog controls kernel tile batching.
+    chunk: int = 65536
+    # dev timing array (reference: GB_Global.timing[40]).
+    timing: dict = dataclasses.field(default_factory=dict)
+    # pallas kernels on/off (the JIT-control analog: OFF falls back to XLA).
+    pallas_enabled: bool = True
+
+
+GLOBAL = _Global()
+
+
+def init(mode: str = "nonblocking") -> None:
+    """GrB_init (reference: Source/GB_init.c:60-197)."""
+    GLOBAL.initialized = True
+    GLOBAL.blocking = (mode == "blocking")
+    if os.environ.get("GB_BURBLE"):
+        GLOBAL.burble = True
+
+
+def finalize() -> None:
+    """GrB_finalize."""
+    GLOBAL.initialized = False
+
+
+def set_option(name: str, value) -> None:
+    """GrB_set(GrB_GLOBAL, ...) analog."""
+    if not hasattr(GLOBAL, name):
+        raise KeyError(f"unknown global option {name!r}")
+    setattr(GLOBAL, name, value)
+
+
+def get_option(name: str):
+    """GrB_get(GrB_GLOBAL, ...) analog."""
+    return getattr(GLOBAL, name)
+
+
+def burble(msg: str, *args) -> None:
+    if GLOBAL.burble:
+        GLOBAL.printf("[GB] " + (msg % args if args else msg))
+
+
+class timed:
+    """Context manager feeding GLOBAL.timing — dev counterpart of the
+    reference's GB_Global.timing[40]."""
+
+    def __init__(self, key: str):
+        self.key = key
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        GLOBAL.timing[self.key] = GLOBAL.timing.get(self.key, 0.0) + (
+            time.perf_counter() - self.t0)
+        return False

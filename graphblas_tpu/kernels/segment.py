@@ -1,0 +1,308 @@
+"""Vectorized sparse primitives: the TPU counterpart of the reference's
+task-slicing + template-kernel machinery.
+
+The reference parallelizes with coarse/fine task lists over OpenMP threads
+(Source/GB_ek_slice.c, Source/Template/GB_task_struct.h).  On TPU the same
+work-items become fully vectorized array programs: rowid expansion replaces
+ek_slice, segmented reduction (native jax.ops.segment_* fast paths + a
+generic associative-scan path for arbitrary monoids) replaces the reduction
+templates, and a stable-sort union-merge replaces the GB_add/GB_emult
+3-phase merge (Source/GB_add.h:34-94).  XLA maps these onto the VPU; the
+hand-written Pallas kernels in this package override the hot paths.
+
+Ops with data-dependent output sizes follow the reference's own two-phase
+(symbolic count / numeric fill) structure, with a single host sync of the
+count in between — see ``unique_count`` / ``compact``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import monoid as M
+from ..core.monoid import Monoid
+
+KEY = jnp.int64  # combined (i, j) sort key: i * ncols + j
+
+
+def expand_rowids(indptr, nnz: int, nvec: int):
+    """Vector id of each stored entry, from the CSR/CSC pointer array.
+    (reference: implicit in every ek_slice'd kernel)."""
+    if nnz == 0:
+        return jnp.zeros(0, indptr.dtype)
+    if nvec == 0:
+        return jnp.zeros(nnz, indptr.dtype)
+    counts = jnp.diff(indptr)
+    return jnp.repeat(jnp.arange(nvec, dtype=indptr.dtype), counts,
+                      total_repeat_length=nnz)
+
+
+def indptr_from_sorted(vec_ids, nvec: int, dtype=jnp.int32):
+    """Build an indptr array from sorted vector ids (the cumsum step of
+    GB_builder, reference: Source/GB_builder.c step 4)."""
+    return jnp.searchsorted(vec_ids, jnp.arange(nvec + 1, dtype=vec_ids.dtype
+                                                if vec_ids.size else jnp.int32)
+                            ).astype(dtype)
+
+
+def combined_key(rows, cols, ncols: int, by_row: bool = True):
+    """Lexicographic (vec, idx) key packed into int64."""
+    r = rows.astype(KEY)
+    c = cols.astype(KEY)
+    return r * ncols + c if by_row else c * 0  # caller passes pre-swapped
+
+
+def make_key(vec_ids, idx, veclen: int):
+    return vec_ids.astype(KEY) * veclen + idx.astype(KEY)
+
+
+def key_split(keys, veclen: int):
+    return (keys // veclen).astype(jnp.int32), (keys % veclen).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# segmented reduction
+# ---------------------------------------------------------------------------
+
+_NATIVE = {
+    "GrB_PLUS": jax.ops.segment_sum,
+    "GrB_TIMES": jax.ops.segment_prod,
+    "GrB_MIN": jax.ops.segment_min,
+    "GrB_MAX": jax.ops.segment_max,
+}
+
+
+def segment_reduce(vals, seg_ids, num_segments: int, monoid: Monoid,
+                   indices_are_sorted: bool = True):
+    """Reduce ``vals`` by segment under an arbitrary monoid.
+
+    Fast path: XLA-native segment ops for PLUS/TIMES/MIN/MAX and the boolean
+    monoids (reference analog: factory kernels for built-in monoids).
+    Generic path: inclusive segmented associative scan — works for ANY
+    associative operator, replacing the reference's "generic" function-
+    pointer kernels (reference: Source/GB_reduce_to_scalar.c:326) at full
+    vector speed.
+
+    Empty segments get the monoid identity.
+    """
+    dt = vals.dtype
+    n = vals.shape[0]
+    ident = jnp.asarray(monoid.identity_for(dt), dt)
+    if n == 0:
+        return jnp.full((num_segments,), ident)
+    name = monoid.op.name
+    if name in _NATIVE:
+        if name in ("GrB_MIN", "GrB_MAX") and np.issubdtype(dt, np.floating):
+            # native segment_min/max propagate NaN; GraphBLAS MIN/MAX are
+            # omitnan — substitute identity for NaN inputs first.
+            vals = jnp.where(jnp.isnan(vals), ident, vals)
+        out = _NATIVE[name](vals, seg_ids, num_segments,
+                            indices_are_sorted=indices_are_sorted)
+        if name in ("GrB_MIN", "GrB_MAX"):
+            # empty segments: segment_min yields +huge; that equals identity
+            # already for MIN; for MAX likewise. Nothing to fix.
+            pass
+        return out.astype(dt)
+    if name == "GrB_LOR":
+        out = jax.ops.segment_max((vals != 0).astype(jnp.int32), seg_ids,
+                                  num_segments,
+                                  indices_are_sorted=indices_are_sorted)
+        return (out > 0).astype(dt) if dt != jnp.bool_ else out > 0
+    if name == "GrB_LAND":
+        out = jax.ops.segment_min((vals != 0).astype(jnp.int32), seg_ids,
+                                  num_segments,
+                                  indices_are_sorted=indices_are_sorted)
+        has = jax.ops.segment_sum(jnp.ones(vals.shape[0], jnp.int32), seg_ids,
+                                  num_segments,
+                                  indices_are_sorted=indices_are_sorted)
+        out = jnp.where(has > 0, out, 1)  # empty segment -> identity (true)
+        return (out > 0).astype(dt) if dt != jnp.bool_ else out > 0
+    if name == "GrB_LXOR":
+        out = jax.ops.segment_sum((vals != 0).astype(jnp.int32), seg_ids,
+                                  num_segments,
+                                  indices_are_sorted=indices_are_sorted) % 2
+        return (out > 0).astype(dt) if dt != jnp.bool_ else out > 0
+    if name == "GxB_ANY":
+        # deterministic "any": take the max for reproducibility
+        if np.issubdtype(dt, np.bool_):
+            out = jax.ops.segment_max(vals.astype(jnp.int32), seg_ids,
+                                      num_segments,
+                                      indices_are_sorted=indices_are_sorted)
+            return out > 0
+        return jax.ops.segment_max(vals, seg_ids, num_segments,
+                                   indices_are_sorted=indices_are_sorted)
+    # ---- generic path: segmented associative scan -------------------------
+    if not indices_are_sorted:
+        order = jnp.argsort(seg_ids, stable=True)
+        seg_ids, vals = seg_ids[order], vals[order]
+    flags = jnp.concatenate([jnp.ones(1, bool), seg_ids[1:] != seg_ids[:-1]])
+    op = monoid.op
+
+    def combine(a, b):
+        fa, va = a
+        fb, vb = b
+        return (fa | fb, jnp.where(fb, vb, op(va, vb).astype(dt)))
+
+    _, scanned = jax.lax.associative_scan(combine, (flags, vals))
+    is_last = jnp.concatenate([seg_ids[1:] != seg_ids[:-1],
+                               jnp.ones(1, bool)])
+    out = jnp.full((num_segments,), ident)
+    tgt = jnp.where(is_last, seg_ids, num_segments)  # dropped when not last
+    return out.at[tgt].set(scanned, mode="drop")
+
+
+def full_reduce(vals, monoid: Monoid, dtype=None):
+    """Reduce a whole array under a monoid (GrB_reduce to scalar)."""
+    dt = dtype or vals.dtype
+    vals = vals.reshape(-1).astype(dt)
+    ident = jnp.asarray(monoid.identity_for(dt), dt)
+    if vals.shape[0] == 0:
+        return ident
+    name = monoid.op.name
+    if name == "GrB_PLUS":
+        return jnp.sum(vals)
+    if name == "GrB_TIMES":
+        return jnp.prod(vals)
+    if name == "GrB_MIN":
+        if np.issubdtype(np.dtype(dt), np.floating):
+            vals = jnp.where(jnp.isnan(vals), ident, vals)
+        return jnp.min(vals)
+    if name == "GrB_MAX":
+        if np.issubdtype(np.dtype(dt), np.floating):
+            vals = jnp.where(jnp.isnan(vals), ident, vals)
+        return jnp.max(vals)
+    if name == "GrB_LOR":
+        return jnp.any(vals != 0).astype(dt)
+    if name == "GrB_LAND":
+        return jnp.all(vals != 0).astype(dt)
+    if name == "GrB_LXOR":
+        return (jnp.sum((vals != 0).astype(jnp.int32)) % 2).astype(dt)
+    if name == "GxB_ANY":
+        return jnp.max(vals)
+    # generic log-depth tree reduction via associative scan
+    seg = jnp.zeros(vals.shape[0], jnp.int32)
+    return segment_reduce(vals, seg, 1, monoid)[0]
+
+
+# ---------------------------------------------------------------------------
+# sorting / building
+# ---------------------------------------------------------------------------
+
+def sort_coo(vec_ids, idx, veclen: int):
+    """Stable sort of COO entries by (vec, idx); returns (order, sorted_vec,
+    sorted_idx).  The parallel-sort step of GB_builder (reference:
+    Source/GB_builder.c step 2, GB_msort_2)."""
+    keys = make_key(vec_ids, idx, veclen)
+    order = jnp.argsort(keys, stable=True)
+    skeys = keys[order]
+    return order, skeys
+
+
+# ---------------------------------------------------------------------------
+# two-phase (symbolic/numeric) helpers — host syncs the count
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _group_ids(sorted_keys):
+    if sorted_keys.shape[0] == 0:
+        return sorted_keys.astype(jnp.int32), jnp.zeros((), jnp.int32)
+    is_new = jnp.concatenate([jnp.ones(1, bool),
+                              sorted_keys[1:] != sorted_keys[:-1]])
+    gid = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    return gid, gid[-1] + 1
+
+
+def group_ids(sorted_keys):
+    """(group_id per element, num_groups host int)."""
+    gid, n = _group_ids(sorted_keys)
+    return gid, int(n)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _compact_gather(mask, out_n):
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    src = jnp.full((out_n,), -1, jnp.int32)
+    tgt = jnp.where(mask, pos, out_n)
+    n = mask.shape[0]
+    src = src.at[tgt].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return src
+
+
+def compact(mask, *arrays):
+    """Keep elements where mask; returns (count, gathered arrays).  The
+    zombie-free deletion path: reference kills zombies with GB_selector
+    (Source/GB_wait.c), we compact."""
+    cnt = int(jnp.sum(mask))
+    if cnt == 0:
+        return 0, tuple(a[:0] for a in arrays)
+    src = _compact_gather(mask, cnt)
+    return cnt, tuple(a[src] for a in arrays)
+
+
+def lookup_sorted(sorted_keys, queries):
+    """(found, pos) of each query in a sorted key array — the hyper-hash /
+    binary-search lookup (reference: Source/Shared/GB_hyper_hash_lookup.h)."""
+    n = sorted_keys.shape[0]
+    if n == 0:
+        return jnp.zeros(queries.shape, bool), jnp.zeros(queries.shape, jnp.int32)
+    pos = jnp.searchsorted(sorted_keys, queries).astype(jnp.int32)
+    safe = jnp.minimum(pos, n - 1)
+    found = (pos < n) & (sorted_keys[safe] == queries)
+    return found, safe
+
+
+# ---------------------------------------------------------------------------
+# union merge — the engine behind eWiseAdd / eWiseMult / eWiseUnion / masker
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _merge_phase1(keysA, keysB):
+    nA = keysA.shape[0]
+    keys = jnp.concatenate([keysA, keysB])
+    order = jnp.argsort(keys, stable=True)
+    skeys = keys[order]
+    tag_b = order >= nA
+    if skeys.shape[0] == 0:
+        return order, skeys, tag_b, jnp.zeros(0, jnp.int32), jnp.zeros((), jnp.int32)
+    is_new = jnp.concatenate([jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
+    gid = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    return order, skeys, tag_b, gid, gid[-1] + 1
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _merge_phase2(order, skeys, tag_b, gid, valsA, valsB, ng):
+    nA = valsA.shape[0]
+    # gather each element's value from its source array
+    posA = jnp.clip(order, 0, max(nA - 1, 0))
+    posB = jnp.clip(order - nA, 0, max(valsB.shape[0] - 1, 0))
+    va = valsA[posA] if nA else jnp.zeros(order.shape, valsA.dtype)
+    vb = valsB[posB] if valsB.shape[0] else jnp.zeros(order.shape, valsB.dtype)
+    drop = ng  # out-of-range target -> dropped
+    tgtA = jnp.where(~tag_b, gid, drop)
+    tgtB = jnp.where(tag_b, gid, drop)
+    outA = jnp.zeros((ng,), valsA.dtype).at[tgtA].set(va, mode="drop")
+    outB = jnp.zeros((ng,), valsB.dtype).at[tgtB].set(vb, mode="drop")
+    inA = jnp.zeros((ng,), bool).at[tgtA].set(True, mode="drop")
+    inB = jnp.zeros((ng,), bool).at[tgtB].set(True, mode="drop")
+    # duplicate writes carry equal keys, so write order is immaterial
+    ukeys = jnp.zeros((ng,), skeys.dtype).at[gid].set(skeys, mode="drop")
+    return ukeys, outA, outB, inA, inB
+
+
+def union_merge(keysA, valsA, keysB, valsB):
+    """Merge two sorted sparse patterns.  Returns
+    (unique_keys, a_vals, b_vals, a_present, b_present) of length nnz(union).
+    One engine for eWiseAdd (union), eWiseMult (filter both), eWiseUnion
+    (union with fill scalars) and the masker truth table
+    (reference: Source/GB_add.h, GB_emult.h, GB_masker.c:20-27)."""
+    order, skeys, tag_b, gid, ng = _merge_phase1(keysA, keysB)
+    ng = int(ng)
+    if ng == 0:
+        z = jnp.zeros(0, KEY)
+        return (z, valsA[:0], valsB[:0], jnp.zeros(0, bool), jnp.zeros(0, bool))
+    return _merge_phase2(order, skeys, tag_b, gid, valsA, valsB, ng)
