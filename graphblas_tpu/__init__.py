@@ -35,7 +35,9 @@ __version__ = "0.1.0"
 
 def __getattr__(name):
     # operation layer is imported lazily to keep import light
-    from . import api as _api
+    import importlib
+    _api = importlib.import_module(".api", __name__)
+    globals()["api"] = _api
     if hasattr(_api, name):
         return getattr(_api, name)
     raise AttributeError(name)

@@ -86,7 +86,10 @@ def lookup(x) -> Type:
         return x
     if isinstance(x, str) and x in _BY_NAME:
         return _BY_NAME[x]
-    dt = np.dtype(x) if not hasattr(x, "dtype") else np.dtype(x.dtype)
+    try:
+        dt = np.dtype(x)
+    except TypeError:
+        dt = np.dtype(x.dtype)
     try:
         return _BY_DTYPE[dt]
     except KeyError:

@@ -92,9 +92,10 @@ def segment_reduce(vals, seg_ids, num_segments: int, monoid: Monoid,
     """
     dt = vals.dtype
     n = vals.shape[0]
+    tail = vals.shape[1:]
     ident = jnp.asarray(monoid.identity_for(dt), dt)
     if n == 0:
-        return jnp.full((num_segments,), ident)
+        return jnp.full((num_segments,) + tail, ident)
     name = monoid.op.name
     if name in _NATIVE:
         if name in ("GrB_MIN", "GrB_MAX") and np.issubdtype(dt, np.floating):
@@ -142,16 +143,17 @@ def segment_reduce(vals, seg_ids, num_segments: int, monoid: Monoid,
         seg_ids, vals = seg_ids[order], vals[order]
     flags = jnp.concatenate([jnp.ones(1, bool), seg_ids[1:] != seg_ids[:-1]])
     op = monoid.op
+    expand = (Ellipsis,) + (None,) * (vals.ndim - 1)
 
     def combine(a, b):
         fa, va = a
         fb, vb = b
-        return (fa | fb, jnp.where(fb, vb, op(va, vb).astype(dt)))
+        return (fa | fb, jnp.where(fb[expand], vb, op(va, vb).astype(dt)))
 
     _, scanned = jax.lax.associative_scan(combine, (flags, vals))
     is_last = jnp.concatenate([seg_ids[1:] != seg_ids[:-1],
                                jnp.ones(1, bool)])
-    out = jnp.full((num_segments,), ident)
+    out = jnp.full((num_segments,) + tail, ident)
     tgt = jnp.where(is_last, seg_ids, num_segments)  # dropped when not last
     return out.at[tgt].set(scanned, mode="drop")
 

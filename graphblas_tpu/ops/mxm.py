@@ -1,0 +1,381 @@
+"""mxm / mxv / vxm: C<M> = accum(C, A (+).(x) B) over any semiring.
+
+Reference architecture (what this replaces, not how):
+  * GB_mxm / GB_AxB_meta (Source/GB_mxm.c, GB_AxB_meta.c): CSR/CSC
+    normalization, swap rule, flip-multiply, method selection among
+    rowscale/colscale/dot2/dot3/dot4/saxpy3/saxbit/saxpy4/saxpy5.
+  * saxpy3 Gustavson+hash task machinery (Source/GB_AxB_saxpy3*).
+
+TPU redesign:
+  * Logical transposes are free (orientation metadata), so the meta
+    algorithm reduces to: normalize A to row-storage, flip the multiply
+    instead of materializing transposes (same trick as GB_AxB_meta.c:453),
+    then select a kernel by operand formats:
+      - dense x dense  -> MXU matmul for (plus|min|max|lor|...) x times-like
+                          real semirings, chunked broadcast-reduce otherwise
+      - sparse x dense -> row-gather + segmented reduce (saxpy4/5 analog;
+                          MXU-ineligible because the lhs is sparse)
+      - sparse x sparse -> ESC (expand-sort-compress) SpGEMM: flop-exact
+                          expansion via searchsorted, 64-bit key sort,
+                          segmented reduction (replaces Gustavson/hash
+                          tasks; sorting is the TPU's hash table)
+  * dot3 analog: when a mask is present, product streams are pre-filtered
+    by the effective write mask before the sort — work becomes
+    O(flops into mask) like the reference's dot3 (Source/GB_AxB_dot3.c).
+  * accum/mask/replace semantics all land in ops/masker.writeback.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import config as CFG
+from ..core import errors as E
+from ..core import types as T
+from ..core.descriptor import NULL, Descriptor
+from ..core.matrix import (BITMAP, COL, FULL, HYPER, INDEX, ROW, SPARSE,
+                           Matrix, Vector)
+from ..core.semiring import Semiring
+from ..core.types import cast
+from ..kernels import segment as K
+from .masker import mask_bits_at_keys, writeback
+from .transpose import logical_transpose, maybe_transpose
+
+_MXU_ADD = {"GrB_PLUS"}  # monoids whose dense path can ride jnp.matmul
+_MXU_MULT = {"GrB_TIMES"}
+
+
+def _dense(a):
+    return a.fmt in (BITMAP, FULL)
+
+
+def _ztype(sr: Semiring, A, B, out_dtype=None):
+    if out_dtype is not None:
+        return T.lookup(out_dtype)
+    return sr.mult.out_type(A.dtype, B.dtype)
+
+
+def _positional_product_vals(pos_kind, i, k, j, zt):
+    """Semiring-context positional multiply: z = f(a_ik, b_kj) with
+    FIRSTI=i, FIRSTJ=k, SECONDI=k, SECONDJ=j (reference:
+    Doc/GraphBLAS_UserGuide.tex positional-op table; the values depend only
+    on the product triple (i,k,j), not on operand storage)."""
+    src = {"firsti": i, "firsti1": i + 1, "firstj": k,
+           "firstj1": k + 1, "secondi": k, "secondi1": k + 1,
+           "secondj": j, "secondj1": j + 1}[pos_kind]
+    return src.astype(zt.np_dtype)
+
+
+def _ident_relabel(i, k, j):
+    return i, k, j
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+def mxm(A: Matrix, B: Matrix, sr: Semiring, *, C=None, mask=None,
+        accum=None, desc: Descriptor = NULL, out_dtype=None):
+    A = maybe_transpose(A, desc.transpose0)
+    B = maybe_transpose(B, desc.transpose1)
+    if A.ncols != B.nrows:
+        raise E.DimensionMismatch(f"mxm: {A.shape} x {B.shape}")
+    if C is not None and C.shape != (A.nrows, B.ncols):
+        raise E.DimensionMismatch("mxm: C shape")
+    zt = _ztype(sr, A, B, None)
+    Tm = _mxm_dispatch(A, B, sr, zt, mask, desc, accum)
+    return writeback(C, mask, accum, Tm, desc, out_dtype)
+
+
+def mxv(A: Matrix, u: Matrix, sr: Semiring, *, C=None, mask=None,
+        accum=None, desc: Descriptor = NULL, out_dtype=None):
+    """w<m> = accum(w, A (+).(x) u).  desc.transpose0 transposes A."""
+    A = maybe_transpose(A, desc.transpose0)
+    if A.ncols != u.nrows:
+        raise E.DimensionMismatch(f"mxv: {A.shape} x {u.shape}")
+    zt = _ztype(sr, A, u, None)
+    Tm = _mxm_dispatch(A, u, sr, zt, mask, desc, accum)
+    d2 = desc.with_(transpose0=False)
+    return writeback(C, mask, accum, Tm, d2, out_dtype, out_class=Vector)
+
+
+def vxm(u: Matrix, A: Matrix, sr: Semiring, *, C=None, mask=None,
+        accum=None, desc: Descriptor = NULL, out_dtype=None):
+    """w<m> = accum(w, u' (+).(x) A) == mxv(A', u) with multiply flipped
+    (the reference's flip-binop trick, GB_AxB_meta.c:453-468).  Positional
+    multiplies are not flipped; the kernel's product triple is relabeled
+    instead: semantic (i,k,j) = (0, k_kernel, i_kernel).
+    desc.transpose1 transposes A."""
+    A = maybe_transpose(A, desc.transpose1)
+    if A.nrows != u.nrows:
+        raise E.DimensionMismatch(f"vxm: {u.shape}' x {A.shape}")
+    At = logical_transpose(A)
+    if sr.mult.positional:
+        sr2 = sr
+        relabel = lambda i, k, j: (jnp.zeros_like(i), k, i)
+    else:
+        sr2 = Semiring(sr.add, sr.mult.flipped(), name=sr.name + "_flip")
+        relabel = _ident_relabel
+    zt = _ztype(sr, u, A, None)
+    Tm = _mxm_dispatch(At, u, sr2, zt, mask, desc, accum, relabel)
+    d2 = desc.with_(transpose0=False, transpose1=False)
+    return writeback(C, mask, accum, Tm, d2, out_dtype, out_class=Vector)
+
+
+# ---------------------------------------------------------------------------
+# method selection (the GB_AxB_meta analog)
+# ---------------------------------------------------------------------------
+
+def _mxm_dispatch(A, B, sr, zt, mask, desc, accum,
+                  relabel=_ident_relabel) -> Matrix:
+    if desc.axb_method == "dense" or (_dense(A) and _dense(B)):
+        CFG.burble("mxm: dense path (%s x %s)", A.fmt, B.fmt)
+        return _mxm_dense(A, B, sr, zt, relabel)
+    if _dense(B) and not _dense(A):
+        CFG.burble("mxm: spmm path (sparse x %s)", B.fmt)
+        return _spmm(A, B, sr, zt, relabel)
+    if _dense(A) and not _dense(B):
+        # C = A*B == (B'*A')' with multiply flipped; spmm on the flip
+        CFG.burble("mxm: spmm-flip path (%s x sparse)", A.fmt)
+        if sr.mult.positional:
+            sr2 = sr
+            rel2 = lambda i, k, j: relabel(j, k, i)
+        else:
+            sr2 = Semiring(sr.add, sr.mult.flipped(), name=sr.name + "_flip")
+            rel2 = lambda i, k, j: relabel(i, k, j)
+        Ct = _spmm(logical_transpose(B), logical_transpose(A), sr2, zt, rel2)
+        return logical_transpose(Ct)
+    CFG.burble("mxm: ESC spgemm path")
+    return _spgemm_esc(A, B, sr, zt, mask, desc, accum, relabel)
+
+
+# ---------------------------------------------------------------------------
+# dense x dense
+# ---------------------------------------------------------------------------
+
+def _mxm_dense(A, B, sr, zt, relabel=_ident_relabel) -> Matrix:
+    av, ap = A.to_dense_pair()
+    bv, bp = B.to_dense_pair()
+    m, k = A.shape
+    n = B.ncols
+    add_name, mult_name = sr.add.op.name, sr.mult.name
+    real = not (zt.is_complex or zt.is_bool) and not sr.mult.positional
+    all_present = A.fmt == FULL and B.fmt == FULL
+    if (add_name in _MXU_ADD and mult_name in _MXU_MULT and real
+            and all_present):
+        # MXU fast path (reference analog: dot2 with full operands)
+        CFG.burble("mxm dense: MXU matmul")
+        cv = jnp.matmul(cast(av, zt), cast(bv, zt),
+                        preferred_element_type=zt.np_dtype)
+        return Matrix((m, n), zt, FULL, A.orient, values=cv)
+    # generic semiring: chunked broadcast-reduce over k.
+    ident = jnp.asarray(sr.add.identity_for(zt.np_dtype), zt.np_dtype)
+    if mult_name in ("GrB_TIMES",) and add_name in _MXU_ADD and real:
+        # plus-times with holes: holes multiply as 0 == additive identity
+        cv = jnp.matmul(jnp.where(ap, cast(av, zt), 0),
+                        jnp.where(bp, cast(bv, zt), 0),
+                        preferred_element_type=zt.np_dtype)
+        present = (jnp.matmul(ap.astype(jnp.float32), bp.astype(jnp.float32),
+                              preferred_element_type=jnp.float32) > 0)
+        cv = jnp.where(present, cv, jnp.zeros((), zt.np_dtype))
+        return Matrix((m, n), zt, BITMAP, A.orient, values=cv,
+                      bitmap=present)
+    CFG.burble("mxm dense: generic broadcast-reduce")
+    CHUNK = max(1, min(k, (1 << 22) // max(1, m)))  # bound m*CHUNK*n memory
+    mult, add = sr.mult, sr.add
+
+    def body(carry, kc):
+        acc, pres = carry
+        a_blk = jax.lax.dynamic_slice(av, (0, kc), (m, CHUNK))
+        ap_blk = jax.lax.dynamic_slice(ap, (0, kc), (m, CHUNK))
+        b_blk = jax.lax.dynamic_slice(bv, (kc, 0), (CHUNK, n))
+        bp_blk = jax.lax.dynamic_slice(bp, (kc, 0), (CHUNK, n))
+        both = ap_blk[:, :, None] & bp_blk[None, :, :]
+        if mult.positional:
+            ii = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int64)[:, None, None],
+                                  (m, CHUNK, n))
+            kk = jnp.broadcast_to(
+                (jnp.arange(CHUNK, dtype=jnp.int64) + kc)[None, :, None],
+                (m, CHUNK, n))
+            jj = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int64)[None, None, :],
+                                  (m, CHUNK, n))
+            ri, rk, rj = relabel(ii, kk, jj)
+            prod = _positional_product_vals(mult.positional, ri, rk, rj, zt)
+        else:
+            prod = cast(mult.fn(a_blk[:, :, None], b_blk[None, :, :]), zt)
+        prod = jnp.where(both, prod, ident)
+        red = _reduce_axis1(prod, add, zt)
+        anyp = jnp.any(both, axis=1)
+        newacc = jnp.where(anyp, cast(add.op.fn(acc, red), zt), acc)
+        newacc = jnp.where(anyp & ~pres, red, newacc)
+        return (newacc, pres | anyp), None
+
+    kpad = -(-k // CHUNK) * CHUNK
+    if kpad != k:
+        av = jnp.pad(av, ((0, 0), (0, kpad - k)))
+        ap = jnp.pad(ap, ((0, 0), (0, kpad - k)))
+        bv = jnp.pad(bv, ((0, kpad - k), (0, 0)))
+        bp = jnp.pad(bp, ((0, kpad - k), (0, 0)))
+    init = (jnp.full((m, n), ident), jnp.zeros((m, n), bool))
+    (acc, pres), _ = jax.lax.scan(
+        body, init, jnp.arange(0, kpad, CHUNK))
+    acc = jnp.where(pres, acc, jnp.zeros((), zt.np_dtype))
+    return Matrix((m, n), zt, BITMAP, A.orient, values=acc, bitmap=pres)
+
+
+def _reduce_axis1(prod, add, zt):
+    name = add.op.name
+    if name == "GrB_PLUS":
+        return jnp.sum(prod, axis=1)
+    if name == "GrB_MIN":
+        return jnp.min(prod, axis=1)
+    if name == "GrB_MAX":
+        return jnp.max(prod, axis=1)
+    if name == "GrB_TIMES":
+        return jnp.prod(prod, axis=1)
+    if name == "GrB_LOR":
+        return jnp.any(prod != 0, axis=1).astype(prod.dtype)
+    if name == "GrB_LAND":
+        return jnp.all(prod != 0, axis=1).astype(prod.dtype)
+    if name == "GrB_LXOR":
+        return (jnp.sum((prod != 0).astype(jnp.int32), axis=1) % 2
+                ).astype(prod.dtype)
+    if name == "GxB_ANY":
+        return jnp.max(prod, axis=1)
+    # generic: log-depth fold over axis 1
+    def fold(x):
+        while x.shape[1] > 1:
+            half = x.shape[1] // 2
+            rest = x[:, 2 * half:]
+            x = cast(add.op.fn(x[:, :half], x[:, half:2 * half]), zt)
+            if rest.shape[1]:
+                x = jnp.concatenate([x, rest], axis=1)
+        return x[:, 0]
+    return fold(jnp.moveaxis(prod, 1, 1))
+
+
+# ---------------------------------------------------------------------------
+# sparse x dense (SpMM / SpMV) — the saxpy4/saxpy5/dot analog family
+# ---------------------------------------------------------------------------
+
+def _spmm(A: Matrix, B: Matrix, sr, zt, relabel=_ident_relabel) -> Matrix:
+    """C(bitmap) = A(sparse) x B(bitmap/full).  Row-gather + segmented
+    reduce; XLA turns the gather+multiply+segment_sum into fused HBM-bound
+    loops (per-chip analog of saxpy4, Source/GB_AxB_saxpy4.c)."""
+    Ar = A.to_format(SPARSE, ROW) if (A.fmt != SPARSE or A.orient != ROW) \
+        else A
+    m, k = A.shape
+    n = B.ncols
+    nnz = int(Ar.indices.shape[0])
+    bv, bp = B.to_dense_pair()
+    mult, add = sr.mult, sr.add
+    ident = jnp.asarray(add.identity_for(zt.np_dtype), zt.np_dtype)
+    if nnz == 0:
+        return Matrix((m, n), zt, BITMAP, ROW,
+                      values=jnp.full((m, n), jnp.zeros((), zt.np_dtype)),
+                      bitmap=jnp.zeros((m, n), bool))
+    rows = K.expand_rowids(Ar.indptr, nnz, m)
+    cols = Ar.indices
+    avals = Ar._vals_expanded()
+    brow = bv[cols, :]                     # [nnz, n] gather of B rows
+    bpres = bp[cols, :]
+    if mult.positional:
+        ii = jnp.broadcast_to(rows.astype(jnp.int64)[:, None], (nnz, n))
+        kk = jnp.broadcast_to(cols.astype(jnp.int64)[:, None], (nnz, n))
+        jj = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int64)[None, :],
+                              (nnz, n))
+        ri, rk, rj = relabel(ii, kk, jj)
+        prod = _positional_product_vals(mult.positional, ri, rk, rj, zt)
+    else:
+        prod = cast(mult.fn(avals[:, None], brow), zt)
+    prod = jnp.where(bpres, prod, ident)
+    out = K.segment_reduce(prod, rows, m, add, indices_are_sorted=True)
+    pres = jax.ops.segment_max(bpres.astype(jnp.int32), rows, m,
+                               indices_are_sorted=True) > 0
+    out = jnp.where(pres, out, jnp.zeros((), zt.np_dtype))
+    return Matrix((m, n), zt, BITMAP, ROW, values=out, bitmap=pres)
+
+
+# ---------------------------------------------------------------------------
+# sparse x sparse: ESC SpGEMM (saxpy3 analog)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _flop_count(a_cols, b_indptr):
+    blen = jnp.diff(b_indptr)
+    f = blen[a_cols].astype(jnp.int64)
+    cumf = jnp.concatenate([jnp.zeros(1, jnp.int64), jnp.cumsum(f)])
+    return cumf, cumf[-1]
+
+
+def _spgemm_esc(A, B, sr, zt, mask, desc, accum,
+                relabel=_ident_relabel) -> Matrix:
+    """Expand-sort-compress SpGEMM.
+
+    Phase 0 (flopcount; reference: GB_AxB_saxpy3_flopcount.c): exact product
+    count F = sum over A entries of |B(k,:)|; one host sync.
+    Phase 1 (expand): product p -> (A entry e, B offset) via searchsorted on
+    the cumulative flop array; produces i/j/value streams of length F.
+    Phase 1.5 (dot3 analog): if a mask is present, products are pre-filtered
+    by the effective write mask (safe: writeback re-applies the mask).
+    Phase 2 (sort+compress): 64-bit key stable sort + segmented reduce under
+    the add monoid (reference: saxpy3 phases 2-5 — the sort is the TPU's
+    shared hash table).
+    """
+    Ar = A.to_format(SPARSE, ROW) if (A.fmt != SPARSE or A.orient != ROW) \
+        else A
+    Br = B.to_format(SPARSE, ROW) if (B.fmt != SPARSE or B.orient != ROW) \
+        else B
+    m, k = A.shape
+    n = B.ncols
+    nnzA = int(Ar.indices.shape[0])
+    if nnzA == 0 or int(Br.indices.shape[0]) == 0:
+        return Matrix((m, n), zt, SPARSE, ROW)
+    cumf, F = _flop_count(Ar.indices, Br.indptr)
+    F = int(F)
+    CFG.burble("spgemm: %d flops (nnzA=%d nnzB=%d)", F, nnzA,
+               int(Br.indices.shape[0]))
+    if F == 0:
+        return Matrix((m, n), zt, SPARSE, ROW)
+    a_rows = K.expand_rowids(Ar.indptr, nnzA, m)
+    keys, prod = _spgemm_expand(Ar, Br, a_rows, cumf, F, sr, zt, n, relabel)
+    if mask is not None and mask.fmt in (SPARSE, HYPER):
+        # dot3-style pre-filter by effective write mask
+        eff = mask_bits_at_keys(mask, keys, n, ROW, desc)
+        kept, (keys, prod) = K.compact(eff, keys, prod)
+        CFG.burble("spgemm: mask prefilter %d -> %d products", F, kept)
+        if kept == 0:
+            return Matrix((m, n), zt, SPARSE, ROW)
+    order = jnp.argsort(keys, stable=False)
+    skeys = keys[order]
+    sprod = prod[order]
+    gid, ng = K.group_ids(skeys)
+    cv = K.segment_reduce(sprod, gid, ng, sr.add)
+    ukeys = jnp.zeros((ng,), skeys.dtype).at[gid].set(skeys)
+    uvec, uidx = K.key_split(ukeys, n)
+    indptr = K.indptr_from_sorted(uvec, m, INDEX)
+    return Matrix((m, n), zt, SPARSE, ROW, indptr=indptr, indices=uidx,
+                  values=cv)
+
+
+def _spgemm_expand(Ar, Br, a_rows, cumf, F: int, sr, zt, n: int,
+                   relabel=_ident_relabel):
+    mult = sr.mult
+    p = jnp.arange(F, dtype=jnp.int64)
+    e = jnp.searchsorted(cumf[1:], p, side="right").astype(jnp.int64)
+    off = p - cumf[e]
+    b_pos = Br.indptr[Ar.indices[e]].astype(jnp.int64) + off
+    i = a_rows[e].astype(jnp.int64)
+    ka = Ar.indices[e].astype(jnp.int64)
+    j = Br.indices[b_pos].astype(jnp.int64)
+    keys = i * n + j
+    if mult.positional:
+        ri, rk, rj = relabel(i, ka, j)
+        prod = _positional_product_vals(mult.positional, ri, rk, rj, zt)
+    else:
+        av = Ar._vals_expanded()[e]
+        bvv = Br._vals_expanded()[b_pos]
+        prod = cast(mult.fn(av, bvv), zt)
+    return keys, prod

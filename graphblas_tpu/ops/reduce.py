@@ -1,0 +1,93 @@
+"""GrB_reduce: matrix -> vector (row-wise monoid reduce) and matrix/vector
+-> scalar (reference: Source/GB_reduce_to_scalar.c — panel reduction with
+terminal early-exit; GB_reduce_to_vector.c implements to-vector as mxm with
+PLUS_FIRST, which on TPU is just a segmented reduce)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import config as CFG
+from ..core import types as T
+from ..core.descriptor import NULL, Descriptor
+from ..core.matrix import BITMAP, COL, FULL, HYPER, ROW, SPARSE, Matrix, Vector
+from ..core.monoid import Monoid
+from ..core.types import cast
+from ..kernels import segment as K
+from .masker import writeback
+from .transpose import maybe_transpose
+
+
+def _axis_reduce(vv, mon: Monoid, dt):
+    """Row-wise reduce of a dense (identity-filled) array — native jnp
+    reductions for the built-in monoids, segmented scan otherwise."""
+    name = mon.op.name
+    if name == "GrB_PLUS":
+        return jnp.sum(vv, axis=1)
+    if name == "GrB_TIMES":
+        return jnp.prod(vv, axis=1)
+    if name == "GrB_MIN":
+        if np.issubdtype(dt.np_dtype, np.floating):
+            vv = jnp.where(jnp.isnan(vv), jnp.asarray(np.inf, vv.dtype), vv)
+        return jnp.min(vv, axis=1)
+    if name == "GrB_MAX":
+        if np.issubdtype(dt.np_dtype, np.floating):
+            vv = jnp.where(jnp.isnan(vv), jnp.asarray(-np.inf, vv.dtype), vv)
+        return jnp.max(vv, axis=1)
+    if name == "GrB_LOR":
+        return jnp.any(vv != 0, axis=1).astype(vv.dtype)
+    if name == "GrB_LAND":
+        return jnp.all(vv != 0, axis=1).astype(vv.dtype)
+    if name == "GrB_LXOR":
+        return (jnp.sum((vv != 0).astype(jnp.int32), axis=1) % 2).astype(vv.dtype)
+    if name == "GxB_ANY":
+        return jnp.max(vv, axis=1)
+    m, n = vv.shape
+    seg = jnp.repeat(jnp.arange(m), n, total_repeat_length=m * n)
+    return K.segment_reduce(vv.reshape(-1), seg, m, mon)
+
+
+def reduce_to_vector(A: Matrix, mon: Monoid, *, C=None, mask=None,
+                     accum=None, desc: Descriptor = NULL, out_dtype=None):
+    """w<m> = accum(w, reduce_rows(A)) — reduce each row of A."""
+    A = maybe_transpose(A, desc.transpose0)
+    dt = A.dtype
+    CFG.burble("reduce_to_vector %s (%s)", mon.name, A.fmt)
+    if A.fmt in (BITMAP, FULL):
+        v, p = A.to_dense_pair()
+        ident = jnp.asarray(mon.identity_for(dt.np_dtype), dt.np_dtype)
+        vv = jnp.where(p, v, ident)
+        out = _axis_reduce(vv, mon, dt)
+        present = jnp.any(p, axis=1)
+        ov = jnp.where(present, out, jnp.zeros((), dt.np_dtype))
+        Tm = Vector.from_dense_masked(ov, present)
+    else:
+        S = A.to_format(SPARSE) if A.fmt == HYPER else A
+        rows, cols = S._coords()
+        vals = S._vals_expanded()
+        sorted_ = S.orient == ROW
+        out = K.segment_reduce(vals, rows, A.nrows, mon,
+                               indices_are_sorted=sorted_)
+        present = jnp.zeros(A.nrows, bool).at[rows].set(True)
+        ov = jnp.where(present, out, jnp.zeros((), dt.np_dtype))
+        Tm = Vector.from_dense_masked(ov, present)
+    return writeback(C, mask, accum, Tm, desc, out_dtype, out_class=Vector)
+
+
+def reduce_to_scalar(A: Matrix, mon: Monoid, *, accum=None, init=None,
+                     out_dtype=None):
+    """s = accum(s, reduce_all(A)).  Empty matrix reduces to the monoid
+    identity (reference: GrB_Matrix_reduce semantics)."""
+    dt = T.lookup(out_dtype) if out_dtype else A.dtype
+    CFG.burble("reduce_to_scalar %s (%s)", mon.name, A.fmt)
+    if A.fmt in (BITMAP, FULL):
+        v, p = A.to_dense_pair()
+        ident = jnp.asarray(mon.identity_for(dt.np_dtype), dt.np_dtype)
+        vals = jnp.where(p, cast(v, dt), ident).reshape(-1)
+    else:
+        vals = cast(A._vals_expanded(), dt)
+    r = K.full_reduce(vals, mon, dt.np_dtype)
+    if accum is not None and init is not None:
+        r = cast(accum.fn(jnp.asarray(init), r), dt)
+    return np.asarray(r)[()]

@@ -1,0 +1,356 @@
+"""Distributed layer: row-block-partitioned matrices over a jax.sharding
+Mesh (NET-NEW relative to the reference, which is single-node OpenMP only —
+SURVEY.md §2.6 last row, §5 'distributed communication backend').
+
+Design (the scaling-book recipe: pick a mesh, annotate shardings, let XLA
+insert collectives):
+  * DistMatrix: 1-D row-block partition.  Each shard holds a local CSR of
+    its row range with GLOBAL column ids, padded to a uniform capacity so
+    the stacked arrays [ndev, ...] shard cleanly over the mesh axis.
+    Padding entries carry (col=0, val=additive-identity) plus an explicit
+    local nnz count, so any semiring treats them as no-ops.
+  * SpMV (mxv): y_shard = local CSR SpMV of the all-gathered x — one
+    all_gather over ICI, compute fully local (the halo exchange of
+    SURVEY.md §7 step 7).
+  * vxm / transpose-SpMV: each shard produces partial contributions to ALL
+    destination columns; one psum_scatter combines and re-shards — this is
+    the frontier exchange of distributed BFS/PageRank.
+  * Algorithms: BFS level-sync and PageRank run entirely inside one jitted
+    shard_map while_loop — collectives overlap with local compute under
+    XLA's scheduler; no per-iteration host dispatch.
+
+Chip counts stay powers of the mesh; tests run on 8 virtual CPU devices
+(tests/conftest.py), bench on real TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import monoid as MON
+from ..core import semiring as SR
+from ..core.matrix import COL, INDEX, ROW, SPARSE, Matrix
+from ..core.semiring import Semiring
+from ..kernels import segment as K
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+class DistMatrix:
+    """Row-block partitioned sparse matrix (CSR per shard, global col ids).
+
+    Stacked representation (leading axis = device):
+      indptr  [ndev, rows_per + 1]  local row pointers
+      indices [ndev, cap]           global column ids (0-padded)
+      values  [ndev, cap]           values (identity-padded at use site)
+      nnz     [ndev]                true local entry counts
+    """
+
+    def __init__(self, mesh: Mesh, shape, indptr, indices, values, nnz,
+                 rows_per: int, axis: str = "d"):
+        self.mesh = mesh
+        self.axis = axis
+        self.shape = shape
+        self.rows_per = rows_per
+        self.indptr = indptr
+        self.indices = indices
+        self.values = values
+        self.nnz = nnz
+
+    @property
+    def ndev(self) -> int:
+        return self.indptr.shape[0]
+
+    @classmethod
+    def from_matrix(cls, A: Matrix, mesh: Mesh, axis: str = "d"
+                    ) -> "DistMatrix":
+        """Partition a host Matrix into row blocks (rows padded so every
+        device owns the same count; nnz padded to the max shard)."""
+        ndev = mesh.devices.size
+        S = A.to_format(SPARSE, ROW)
+        n = A.nrows
+        rows_per = -(-n // ndev)
+        indptr = np.asarray(S.indptr)
+        indices = np.asarray(S.indices)
+        values = np.asarray(S._vals_expanded())
+        caps = []
+        for d in range(ndev):
+            r0 = min(d * rows_per, n)
+            r1 = min(r0 + rows_per, n)
+            caps.append(int(indptr[r1] - indptr[r0]))
+        cap = max(max(caps), 1)
+        ip = np.zeros((ndev, rows_per + 1), np.int32)
+        ix = np.zeros((ndev, cap), np.int32)
+        vl = np.zeros((ndev, cap), values.dtype)
+        nz = np.zeros((ndev,), np.int32)
+        for d in range(ndev):
+            r0 = min(d * rows_per, n)
+            r1 = min(r0 + rows_per, n)
+            base = indptr[r0]
+            loc = indptr[r0:r1 + 1] - base
+            ip[d, :len(loc)] = loc
+            ip[d, len(loc):] = loc[-1] if len(loc) else 0
+            cnt = int(indptr[r1] - base)
+            ix[d, :cnt] = indices[base:base + cnt]
+            vl[d, :cnt] = values[base:base + cnt]
+            nz[d] = cnt
+        sh = NamedSharding(mesh, P(axis))
+        return cls(mesh, A.shape, jax.device_put(jnp.asarray(ip), sh),
+                   jax.device_put(jnp.asarray(ix), sh),
+                   jax.device_put(jnp.asarray(vl), sh),
+                   jax.device_put(jnp.asarray(nz), sh), rows_per, axis)
+
+    def shard_x(self, x) -> jax.Array:
+        """Shard a dense length-n vector by row block (padded)."""
+        n = self.shape[0]
+        npad = self.ndev * self.rows_per
+        xp = jnp.pad(jnp.asarray(x), (0, npad - n))
+        sh = NamedSharding(self.mesh, P(self.axis))
+        return jax.device_put(xp.reshape(self.ndev, self.rows_per), sh)
+
+    def unshard_y(self, y) -> jax.Array:
+        return y.reshape(-1)[: self.shape[0]]
+
+
+# ---------------------------------------------------------------------------
+# local (per-shard) SpMV bodies
+# ---------------------------------------------------------------------------
+
+def _local_spmv(iptr, idx, vals, nnz, xfull, sr: Semiring, zt):
+    """y_local = A_local (+).(x) x_full with padding masked to identity."""
+    rows_per = iptr.shape[0] - 1
+    cap = idx.shape[0]
+    rows = K.expand_rowids(iptr, cap, rows_per)
+    ident = jnp.asarray(sr.add.identity_for(zt), zt)
+    xg = xfull[idx]
+    if sr.mult.positional:
+        # distributed positional: k = global column id (the gathered index)
+        prod = idx.astype(zt)
+    else:
+        prod = sr.mult.fn(vals, xg).astype(zt)
+    pos = jnp.arange(cap)
+    prod = jnp.where(pos < nnz, prod, ident)
+    return K.segment_reduce(prod, rows, rows_per, sr.add)
+
+
+def _local_vxm_partial(iptr, idx, vals, nnz, xloc, row0, n_pad,
+                       sr: Semiring, zt):
+    """Partial w contributions from this shard's rows: w[j] += x[i] * A(i,j).
+    Returns a full-width [n_pad] partial (combined by psum_scatter)."""
+    rows_per = iptr.shape[0] - 1
+    cap = idx.shape[0]
+    rows = K.expand_rowids(iptr, cap, rows_per)
+    ident = jnp.asarray(sr.add.identity_for(zt), zt)
+    xi = xloc[rows]
+    if sr.mult.positional:
+        prod = (rows.astype(zt) + row0)
+    else:
+        prod = sr.mult.fn(xi, vals).astype(zt)
+    pos = jnp.arange(cap)
+    valid = pos < nnz
+    prod = jnp.where(valid, prod, ident)
+    tgt = jnp.where(valid, idx, n_pad)  # padding dropped
+    name = sr.add.op.name
+    out = jnp.full((n_pad,), ident)
+    if name == "GrB_PLUS":
+        return out.at[tgt].add(jnp.where(valid, prod, 0), mode="drop")
+    if name in ("GrB_MIN",):
+        return out.at[tgt].min(prod, mode="drop")
+    if name in ("GrB_MAX", "GrB_LOR", "GxB_ANY"):
+        return out.at[tgt].max(prod, mode="drop")
+    # generic: sort-based combine
+    order = jnp.argsort(tgt)
+    red = K.segment_reduce(prod[order], tgt[order], n_pad + 1, sr.add)
+    return red[:n_pad]
+
+
+_PSUM_COMBINE = {"GrB_PLUS": "add", "GrB_MIN": "min", "GrB_MAX": "max",
+                 "GrB_LOR": "max", "GxB_ANY": "max"}
+
+
+def _combine_axis(partial, axis, add_name):
+    if add_name == "GrB_PLUS":
+        return jax.lax.psum(partial, axis)
+    if add_name in ("GrB_MIN",):
+        return jax.lax.pmin(partial, axis)
+    return jax.lax.pmax(partial, axis)
+
+
+# ---------------------------------------------------------------------------
+# public distributed ops
+# ---------------------------------------------------------------------------
+
+def dist_mxv(A: DistMatrix, x, sr: Semiring = SR.PLUS_TIMES, out_dtype=None):
+    """y = A (+).(x) x : all_gather x over ICI, local SpMV per shard.
+    x: dense length-n array (replicated or sharded); returns sharded y."""
+    zt = np.dtype(out_dtype) if out_dtype else np.asarray(x).dtype
+    axis = A.axis
+    xs = A.shard_x(x)
+
+    @functools.partial(
+        shard_map, mesh=A.mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis))
+    def step(iptr, idx, vals, nnz, xloc):
+        xfull = jax.lax.all_gather(xloc[0], axis, tiled=True)
+        y = _local_spmv(iptr[0], idx[0], vals[0], nnz[0], xfull, sr, zt)
+        return y[None]
+
+    y = step(A.indptr, A.indices, A.values, A.nnz, xs)
+    return A.unshard_y(y)
+
+
+def dist_vxm(A: DistMatrix, x, sr: Semiring = SR.PLUS_TIMES, out_dtype=None):
+    """w = x' (+).(x) A : local partials + psum_scatter re-shard (the
+    frontier/halo exchange)."""
+    zt = np.dtype(out_dtype) if out_dtype else np.asarray(x).dtype
+    axis = A.axis
+    xs = A.shard_x(x)
+    n_pad = A.ndev * A.rows_per
+    add_name = sr.add.op.name
+
+    @functools.partial(
+        shard_map, mesh=A.mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis))
+    def step(iptr, idx, vals, nnz, xloc):
+        d = jax.lax.axis_index(axis)
+        row0 = (d * A.rows_per).astype(zt) if sr.mult.positional else 0
+        partial = _local_vxm_partial(iptr[0], idx[0], vals[0], nnz[0],
+                                     xloc[0], row0, n_pad, sr, zt)
+        full = _combine_axis(partial, axis, add_name)
+        mine = jax.lax.dynamic_slice(full, (d * A.rows_per,), (A.rows_per,))
+        return mine[None]
+
+    w = step(A.indptr, A.indices, A.values, A.nnz, xs)
+    return A.unshard_y(w)
+
+
+def dist_reduce_scalar(A: DistMatrix, mon=MON.PLUS):
+    axis = A.axis
+
+    @functools.partial(shard_map, mesh=A.mesh,
+                       in_specs=(P(axis), P(axis)), out_specs=P(axis))
+    def step(vals, nnz):
+        ident = jnp.asarray(mon.identity_for(vals.dtype), vals.dtype)
+        pos = jnp.arange(vals.shape[1])
+        v = jnp.where(pos < nnz[0], vals[0], ident)
+        return K.full_reduce(v, mon)[None]
+
+    per_dev = step(A.values, A.nnz)
+    return K.full_reduce(per_dev, mon)
+
+
+# ---------------------------------------------------------------------------
+# distributed algorithms (one jitted while_loop each)
+# ---------------------------------------------------------------------------
+
+def dist_bfs_levels(A: DistMatrix, source: int):
+    """Level-synchronous distributed BFS; frontier = sharded dense bool,
+    exchanged per level with pmax (BASELINE.json config 5)."""
+    axis = A.axis
+    n_pad = A.ndev * A.rows_per
+    rows_per = A.rows_per
+
+    @functools.partial(
+        shard_map, mesh=A.mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis), check_vma=False)
+    def run(iptr, idx, vals, nnz):
+        d = jax.lax.axis_index(axis)
+        row0 = d * rows_per
+        gidx = jnp.arange(rows_per) + row0
+        levels = jnp.where(gidx == source, 0, -1).astype(jnp.int32)
+        frontier = gidx == source
+        cap = idx.shape[1]
+        rows = K.expand_rowids(iptr[0], cap, rows_per)
+        pos = jnp.arange(cap)
+        valid = pos < nnz[0]
+        tgt = jnp.where(valid, idx[0], n_pad)
+
+        def cond(state):
+            levels, frontier, depth = state
+            any_local = jnp.any(frontier)
+            return jax.lax.pmax(any_local.astype(jnp.int32), axis) > 0
+
+        def body(state):
+            levels, frontier, depth = state
+            hits = frontier[rows] & valid
+            partial = jnp.zeros((n_pad,), bool).at[tgt].max(hits,
+                                                            mode="drop")
+            nxt_full = jax.lax.pmax(partial.astype(jnp.int32), axis) > 0
+            mine = jax.lax.dynamic_slice(nxt_full, (row0,), (rows_per,))
+            mine = mine & (levels < 0)
+            levels = jnp.where(mine, depth + 1, levels)
+            return levels, mine, depth + 1
+
+        levels, _, _ = jax.lax.while_loop(
+            cond, body, (levels, frontier, jnp.int32(0)))
+        return levels[None]
+
+    out = run(A.indptr, A.indices, A.values, A.nnz)
+    return A.unshard_y(out)
+
+
+def dist_pagerank(A: DistMatrix, damping=0.85, tol=1e-6, max_iter=100):
+    """Distributed PageRank: local scatter-partials + psum per iteration,
+    all inside one jitted while_loop."""
+    axis = A.axis
+    n = A.shape[0]
+    n_pad = A.ndev * A.rows_per
+    rows_per = A.rows_per
+
+    @functools.partial(
+        shard_map, mesh=A.mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis), check_vma=False)
+    def run(iptr, idx, vals, nnz):
+        d = jax.lax.axis_index(axis)
+        row0 = d * rows_per
+        gidx = jnp.arange(rows_per) + row0
+        real = gidx < n
+        cap = idx.shape[1]
+        rows = K.expand_rowids(iptr[0], cap, rows_per)
+        pos = jnp.arange(cap)
+        valid = pos < nnz[0]
+        tgt = jnp.where(valid, idx[0], n_pad)
+        outdeg = jnp.diff(iptr[0]).astype(jnp.float32)
+        r = jnp.where(real, 1.0 / n, 0.0).astype(jnp.float32)
+        teleport = jnp.float32((1.0 - damping) / n)
+        safe_deg = jnp.where(outdeg > 0, outdeg, 1.0)
+
+        def body(state):
+            r, it, delta = state
+            w = r / safe_deg
+            contrib = jnp.where(valid, w[rows], 0.0)
+            partial = jnp.zeros((n_pad,), jnp.float32).at[tgt].add(
+                contrib, mode="drop")
+            dang_local = jnp.sum(jnp.where((outdeg == 0) & real, r, 0.0))
+            full = jax.lax.psum(partial, axis)
+            dang = jax.lax.psum(dang_local, axis)
+            mine = jax.lax.dynamic_slice(full, (row0,), (rows_per,))
+            rn = damping * (mine + dang / n) + teleport
+            rn = jnp.where(real, rn, 0.0)
+            dloc = jnp.sum(jnp.abs(rn - r))
+            return rn, it + 1, jax.lax.psum(dloc, axis)
+
+        def cond(state):
+            _, it, delta = state
+            return (it < max_iter) & (delta > tol)
+
+        r, _, _ = jax.lax.while_loop(
+            cond, body, (r, jnp.int32(0), jnp.float32(np.inf)))
+        return r[None]
+
+    out = run(A.indptr, A.indices, A.values, A.nnz)
+    return A.unshard_y(out)

@@ -1,0 +1,122 @@
+"""Distributed layer tests on the 8-virtual-device CPU mesh (SURVEY.md §4
+point 7: multi-chip logic must run in CI without TPUs)."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sps
+import scipy.sparse.csgraph as csg
+
+import graphblas_tpu as gb
+from graphblas_tpu import parallel as par
+from graphblas_tpu.core import semiring as sr
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return par.make_mesh(8)
+
+
+def random_graph(rng, n, avg_deg=5, directed=True):
+    nnz = n * avg_deg
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    keep = r != c
+    S = sps.csr_matrix((rng.standard_normal(keep.sum()),
+                        (r[keep], c[keep])), shape=(n, n))
+    if not directed:
+        S = S + S.T
+    S.sum_duplicates()
+    return S
+
+
+def test_dist_partition_roundtrip(rng, mesh):
+    S = random_graph(rng, 100)
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    assert D.ndev == 8
+    # reassemble
+    total = int(np.sum(np.asarray(D.nnz)))
+    assert total == S.nnz
+
+
+def test_dist_mxv_plus_times(rng, mesh):
+    S = random_graph(rng, 120)
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    x = rng.standard_normal(120)
+    got = np.asarray(par.dist_mxv(D, x))
+    want = S @ x
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_dist_mxv_min_plus(rng, mesh):
+    S = random_graph(rng, 60)
+    S.data[:] = np.abs(S.data)
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    x = np.abs(rng.standard_normal(60))
+    got = np.asarray(par.dist_mxv(D, x, sr.MIN_PLUS))
+    d = S.toarray()
+    want = np.full(60, np.inf)
+    for i in range(60):
+        for k in range(60):
+            if d[i, k] != 0:
+                want[i] = min(want[i], d[i, k] + x[k])
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_dist_vxm(rng, mesh):
+    S = random_graph(rng, 90)
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    x = rng.standard_normal(90)
+    got = np.asarray(par.dist_vxm(D, x))
+    want = S.T @ x
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_dist_reduce(rng, mesh):
+    S = random_graph(rng, 70)
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    got = float(par.dist_reduce_scalar(D))
+    np.testing.assert_allclose(got, S.data.sum(), rtol=1e-10)
+
+
+def test_dist_bfs(rng, mesh):
+    S = random_graph(rng, 100, avg_deg=4, directed=False)
+    S.data[:] = 1
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    got = np.asarray(par.dist_bfs_levels(D, 0))
+    dist = csg.shortest_path(S, unweighted=True, indices=0)
+    want = np.where(np.isfinite(dist), dist, -1).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dist_pagerank(rng, mesh):
+    S = random_graph(rng, 96)
+    S.data[:] = 1
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    got = np.asarray(par.dist_pagerank(D, tol=1e-10, max_iter=200))
+    # single-chip fused reference
+    from graphblas_tpu.algorithms import pagerank_fused
+    want, _ = pagerank_fused(A, tol=1e-10, max_iter=200)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-8)
+
+
+def test_dist_matches_grb_layer(rng, mesh):
+    # distributed result == single-device op-layer result, bit-compat check
+    S = random_graph(rng, 64)
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    x = rng.standard_normal(64)
+    u = gb.Vector.from_dense(x)
+    got = np.asarray(par.dist_mxv(D, x))
+    w = gb.mxv(A, u, sr.PLUS_TIMES)
+    wv, wp = w.to_dense_1d()
+    np.testing.assert_allclose(got[np.asarray(wp)],
+                               np.asarray(wv)[np.asarray(wp)], rtol=1e-10)
