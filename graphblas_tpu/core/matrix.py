@@ -53,6 +53,11 @@ def _np(x):
     return np.asarray(x)
 
 
+def _default_semiring():
+    from . import semiring as SR
+    return SR.PLUS_TIMES
+
+
 @jax.tree_util.register_pytree_node_class
 class Matrix:
     """GrB_Matrix.  See module docstring for the storage model."""
@@ -351,11 +356,157 @@ class Matrix:
         from ..ops import element
         return element.is_stored(self, i, j)
 
+    @staticmethod
+    def _is_point(x) -> bool:
+        return isinstance(x, (int, np.integer))
+
     def __getitem__(self, ij):
-        return self.extract_element(*ij)
+        """A[i, j] -> element; A[I, J] with slices/lists -> extract
+        (the @GrB-style indexing sugar; reference: GraphBLAS/@GrB)."""
+        i, j = ij
+        if self._is_point(i) and self._is_point(j):
+            return self.extract_element(i, j)
+        from .. import api
+        I = [i] if self._is_point(i) else i
+        J = [j] if self._is_point(j) else j
+        return api.extract(self, I, J)
 
     def __setitem__(self, ij, value):
-        self.set_element(ij[0], ij[1], value)
+        i, j = ij
+        if self._is_point(i) and self._is_point(j) and np.isscalar(value):
+            self.set_element(i, j, value)
+            return
+        from .. import api
+        I = [i] if self._is_point(i) else i
+        J = [j] if self._is_point(j) else j
+        api.subassign(self, value, I, J)
+
+    # -- @GrB-style operator sugar (reference: GraphBLAS/@GrB m-files) -----
+
+    def _ewise_or_bind(self, other, op, reverse=False):
+        from .. import api
+        if isinstance(other, Matrix):
+            a, b = (other, self) if reverse else (self, other)
+            return api.ewise_add(a, b, op)
+        bind = ("first", other) if reverse else ("second", other)
+        return api.apply(self, op, bind=bind)
+
+    def __add__(self, other):
+        from . import ops as OPS
+        return self._ewise_or_bind(other, OPS.PLUS)
+
+    def __radd__(self, other):
+        from . import ops as OPS
+        return self._ewise_or_bind(other, OPS.PLUS, reverse=True)
+
+    def __sub__(self, other):
+        from . import ops as OPS
+        return self._ewise_or_bind(other, OPS.MINUS)
+
+    def __rsub__(self, other):
+        from . import ops as OPS
+        return self._ewise_or_bind(other, OPS.MINUS, reverse=True)
+
+    def __mul__(self, other):
+        from .. import api
+        from . import ops as OPS
+        if isinstance(other, Matrix):
+            return api.ewise_mult(self, other, OPS.TIMES)
+        return api.apply(self, OPS.TIMES, bind=("second", other))
+
+    def __rmul__(self, other):
+        from .. import api
+        from . import ops as OPS
+        return api.apply(self, OPS.TIMES, bind=("first", other))
+
+    def __truediv__(self, other):
+        from .. import api
+        from . import ops as OPS
+        if isinstance(other, Matrix):
+            return api.ewise_mult(self, other, OPS.DIV)
+        return api.apply(self, OPS.DIV, bind=("second", other))
+
+    def __matmul__(self, other):
+        from .. import api
+        if isinstance(other, Vector):
+            return api.mxv(self, other, _default_semiring())
+        return api.mxm(self, other, _default_semiring())
+
+    def __neg__(self):
+        from .. import api
+        from . import ops as OPS
+        return api.apply(self, OPS.AINV)
+
+    def __abs__(self):
+        from .. import api
+        from . import ops as OPS
+        return api.apply(self, OPS.ABS)
+
+    def __pow__(self, s):
+        from .. import api
+        from . import ops as OPS
+        return api.apply(self, OPS.POW, bind=("second", s))
+
+    @property
+    def T(self):
+        from ..ops.transpose import logical_transpose
+        return logical_transpose(self)
+
+    def astype(self, dtype):
+        from .. import api
+        from . import ops as OPS
+        return api.apply(self, OPS.IDENTITY, out_dtype=dtype)
+
+    def isequal(self, other, rtol=0.0, atol=0.0) -> bool:
+        """Same shape, same pattern, same values (within tolerance)."""
+        if self.shape != other.shape:
+            return False
+        av, ap = self.to_dense_pair()
+        bv, bp = other.to_dense_pair()
+        if bool(jnp.any(ap != bp)):
+            return False
+        if rtol == 0.0 and atol == 0.0:
+            return not bool(jnp.any(jnp.where(ap, av != bv, False)))
+        diff = jnp.abs(av - bv) <= atol + rtol * jnp.abs(bv)
+        return bool(jnp.all(jnp.where(ap, diff, True)))
+
+    def reduce(self, mon, **kw):
+        from .. import api
+        return api.reduce(self, mon, **kw)
+
+    def reduce_scalar(self, mon, **kw):
+        from .. import api
+        return api.reduce_scalar(self, mon, **kw)
+
+    def resize(self, nrows, ncols) -> None:
+        from ..ops.resize import resize as _rs
+        self._replace_from(_rs(self, nrows, ncols))
+
+    def reshape(self, nrows, ncols, by_col=True):
+        from ..ops.resize import reshape as _rh
+        return _rh(self, nrows, ncols, by_col)
+
+    # -- per-object get/set (reference: GrB_get/GrB_set over matrices,
+    #    Source/GB_get_set.h, GxB_Matrix_Option_*) -------------------------
+
+    def get(self, name: str):
+        opts = {"format": self.fmt, "orientation": self.orient,
+                "nrows": self.nrows, "ncols": self.ncols,
+                "dtype": self.dtype.name, "iso": self.iso,
+                "name": self.name}
+        if name not in opts:
+            raise E.InvalidValue(f"unknown option {name!r}")
+        return opts[name]
+
+    def set(self, name: str, value) -> None:
+        if name == "format":
+            self._replace_from(self.to_format(value))
+        elif name == "orientation":
+            self._replace_from(self.to_orient(value))
+        elif name == "name":
+            self.name = str(value)
+        else:
+            raise E.InvalidValue(f"unknown/read-only option {name!r}")
 
     # -- diagnostics (reference: GxB_Matrix_fprint / GB_matvec_check.c) ----
 
