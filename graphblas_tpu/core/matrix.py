@@ -190,6 +190,15 @@ class Matrix:
                    values=arr, bitmap=present)
 
     @classmethod
+    def from_mtx(cls, path, dtype=None, orient=None):
+        """Load a Matrix Market file via the native C++ parser
+        (graphblas_tpu/utils/native.py; scipy fallback)."""
+        from ..utils import native as NV
+        rows, cols, vals, shape = NV.read_mtx(str(path))
+        return cls.from_coo(rows, cols, vals, shape, dtype=dtype,
+                            dup="plus", orient=orient)
+
+    @classmethod
     def from_scipy(cls, sp, orient=None, dtype=None):
         """Construct from a scipy.sparse matrix (zero-copy of the CSR/CSC
         arrays where formats line up)."""

@@ -37,6 +37,27 @@ _CODECS = {
 }
 
 
+def _gbz_compress_array(npa: np.ndarray, level: int) -> bytes:
+    """Domain-aware codec (the LZ4/ZSTD-analog, native/gbtpu_native.cpp):
+    sorted/int index arrays get zig-zag varint delta coding, float values
+    get byte-shuffled; zlib finishes both."""
+    from ..utils import native as NV
+    if np.issubdtype(npa.dtype, np.integer) and npa.ndim == 1:
+        body = NV.delta_encode(npa.astype(np.int64))
+        return b"D" + zlib.compress(body, min(level + 2, 9))
+    body = NV.byteshuffle(npa)
+    return b"S" + zlib.compress(body, min(level + 2, 9))
+
+
+def _gbz_decompress_array(blob: bytes, dtype, shape) -> np.ndarray:
+    from ..utils import native as NV
+    kind, body = blob[:1], zlib.decompress(blob[1:])
+    n = int(np.prod(shape)) if shape else 1
+    if kind == b"D":
+        return NV.delta_decode(body, n).astype(dtype).reshape(shape)
+    return NV.byteunshuffle(body, dtype, n).reshape(shape)
+
+
 def register_codec(name, compress, decompress):
     """Plug in an external codec (e.g. the native C++ lz4-class codec)."""
     _CODECS[name] = (compress, decompress)
@@ -46,16 +67,18 @@ def serialize(A: Matrix, compression="zlib", level=1) -> bytes:
     """Matrix -> blob (GxB_Matrix_serialize)."""
     if A._pending:
         A.wait()
-    if compression not in _CODECS:
+    if compression != "gbz" and compression not in _CODECS:
         raise E.InvalidValue(f"unknown codec {compression!r}")
-    comp, _ = _CODECS[compression]
     arrays = {}
     for name in ("indptr", "h", "indices", "values", "bitmap"):
         arr = getattr(A, name)
         if arr is not None:
             npa = np.asarray(arr)
-            arrays[name] = (str(npa.dtype), list(npa.shape),
-                            comp(npa.tobytes(), level))
+            if compression == "gbz":
+                enc = _gbz_compress_array(npa, level)
+            else:
+                enc = _CODECS[compression][0](npa.tobytes(), level)
+            arrays[name] = (str(npa.dtype), list(npa.shape), enc)
     header = {
         "version": VERSION,
         "class": type(A).__name__,
@@ -89,15 +112,19 @@ def serialized_get(blob: bytes) -> dict:
 def deserialize(blob: bytes) -> Matrix:
     """Blob -> Matrix (GxB_Matrix_deserialize)."""
     header = serialized_get(blob)
-    _, decomp = _CODECS[header["compression"]]
+    comp = header["compression"]
     hlen = struct.unpack("<I", blob[4:8])[0]
     pos = 8 + hlen
     arrays = {}
     for name, meta in header["arrays"].items():
-        raw = decomp(blob[pos:pos + meta["nbytes"]])
+        raw = blob[pos:pos + meta["nbytes"]]
         pos += meta["nbytes"]
-        arrays[name] = jnp.asarray(
-            np.frombuffer(raw, meta["dtype"]).reshape(meta["shape"]))
+        if comp == "gbz":
+            npa = _gbz_decompress_array(raw, meta["dtype"], meta["shape"])
+        else:
+            npa = np.frombuffer(_CODECS[comp][1](raw),
+                                meta["dtype"]).reshape(meta["shape"])
+        arrays[name] = jnp.asarray(npa)
     klass = {"Matrix": Matrix, "Vector": Vector, "Scalar": Scalar}[
         header["class"]]
     obj = object.__new__(klass)
