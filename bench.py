@@ -6,6 +6,10 @@ edges) — the y=S*x headline workload of the reference
 reference does GAP-twitter SpMV at 0.61 Gnnz/s on a 20-core Xeon E5-2698 v4
 (BASELINE.md), so vs_baseline = our_gnnz_per_s / 0.61.
 
+Timing: ITERS dependency-chained SpMVs inside ONE jitted fori_loop with a
+single scalar transfer at the end (under the axon tunnel,
+block_until_ready does not wait and bulk transfers dominate otherwise).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -15,13 +19,14 @@ import time
 import numpy as np
 
 BASELINE_GNNZ_S = 0.61  # reference SpMV on 20-core Xeon (BASELINE.md)
+ITERS = 30
 
 
 def main():
     import jax
     import jax.numpy as jnp
     import graphblas_tpu as gb
-    from graphblas_tpu.kernels import segment as K
+    from graphblas_tpu.ops.mxm import spmv_arrays
 
     n = 1 << 20
     deg = 16
@@ -36,27 +41,22 @@ def main():
 
     A = gb.Matrix.from_scipy(S)
     Ar = A.to_orient(gb.ROW)
-    indptr = Ar.indptr
-    indices = Ar.indices
-    values = Ar.values
-    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    indptr, indices, values = Ar.indptr, Ar.indices, Ar.values
+    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    scale = jnp.float32(1.0 / deg)
 
     @jax.jit
-    def spmv(indptr, indices, values, x):
-        rws = K.expand_rowids(indptr, nnz, n)
-        return jax.ops.segment_sum(values * x[indices], rws, n,
-                                   indices_are_sorted=True)
+    def chained(indptr, indices, values, x):
+        def body(i, x):
+            y = spmv_arrays(indptr, indices, values, x, n)
+            return y * scale
+        y = jax.lax.fori_loop(0, ITERS, body, x)
+        return jnp.sum(y)
 
-    # warmup / compile
-    y = spmv(indptr, indices, values, x)
-    y.block_until_ready()
-
-    iters = 20
+    _ = float(np.asarray(chained(indptr, indices, values, x0)))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        y = spmv(indptr, indices, values, y / jnp.float32(deg))
-    y.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    _ = float(np.asarray(chained(indptr, indices, values, x0)))
+    dt = (time.perf_counter() - t0) / ITERS
 
     gnnz = nnz / dt / 1e9
     print(json.dumps({

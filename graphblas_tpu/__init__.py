@@ -19,8 +19,10 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 from .core import config as _cfg
+from .core import context as context
 from .core import descriptor, errors, monoid, semiring, types
 from .core import ops as operators
+from .core.context import Context
 from .core.config import burble, finalize, get_option, init, set_option
 from .core.descriptor import Descriptor
 from .core.matrix import (BITMAP, COL, FULL, HYPER, ROW, SPARSE,

@@ -546,6 +546,27 @@ class Matrix:
             if self.values.shape != self.shape:
                 raise E.InvalidObject("values shape")
 
+    def fprint(self, level: int = 2, name: str = "", file=None) -> None:
+        """GxB_Matrix_fprint analog: pretty-print with validity check
+        (reference: Source/GB_matvec_check.c).  level: 0 silent check,
+        1 header, 2 + a few entries, 3 all entries."""
+        import sys
+        out = file or sys.stdout
+        self.check()
+        if level == 0:
+            return
+        nm = name or self.name or type(self).__name__
+        print(f"{nm}: {self!r}", file=out)
+        if level >= 2:
+            limit = None if level >= 3 else 8
+            r, c, v = self.coo()
+            r, c, v = _np(r), _np(c), _np(v)
+            shown = len(r) if limit is None else min(limit, len(r))
+            for k in range(shown):
+                print(f"  ({r[k]},{c[k]})  {v[k]}", file=out)
+            if shown < len(r):
+                print(f"  ... ({len(r) - shown} more)", file=out)
+
     def memory_usage(self) -> int:
         """GxB_Matrix_memoryUsage."""
         tot = 0

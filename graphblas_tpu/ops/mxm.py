@@ -298,6 +298,24 @@ def _spmm(A: Matrix, B: Matrix, sr, zt, relabel=_ident_relabel) -> Matrix:
     return Matrix((m, n), zt, BITMAP, ROW, values=out, bitmap=pres)
 
 
+def spmv_arrays(indptr, indices, values, x, m: int):
+    """Raw CSR SpMV (plus-times): the hot kernel behind bench.py and the
+    fused algorithm tier.  Dispatches to the Pallas kernel when enabled and
+    profitable, else the XLA gather+segment-sum substrate."""
+    from ..core import config as _cfg
+    nnz = indices.shape[0]
+    if _cfg.GLOBAL.pallas_enabled:
+        try:
+            from ..kernels import spmv_pallas
+            if spmv_pallas.eligible(m, x.shape[0], nnz):
+                return spmv_pallas.spmv(indptr, indices, values, x, m)
+        except Exception:  # pragma: no cover - fall back to XLA path
+            pass
+    rows = K.expand_rowids(indptr, nnz, m)
+    return jax.ops.segment_sum(values * x[indices], rows, m,
+                               indices_are_sorted=True)
+
+
 # ---------------------------------------------------------------------------
 # sparse x sparse: ESC SpGEMM (saxpy3 analog)
 # ---------------------------------------------------------------------------
