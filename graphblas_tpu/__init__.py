@@ -31,6 +31,8 @@ from .core.monoid import Monoid, monoid as make_monoid
 from .core.ops import (BinaryOp, IndexUnaryOp, UnaryOp, binary_op,
                        index_unary_op, unary_op)
 from .core.semiring import Semiring, semiring as make_semiring
+from .core import names as names
+from .core.names import lookup as lookup_name
 
 __version__ = "0.1.0"
 

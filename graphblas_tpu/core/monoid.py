@@ -56,6 +56,9 @@ class Monoid:
     identity: Callable[[np.dtype], np.generic]  # dtype -> scalar
     terminal: Optional[Callable[[np.dtype], np.generic]] = None
     name: str = ""
+    # Declared domain type for NAMED monoids (e.g. GxB_MIN_INT8_MONOID);
+    # None => dtype-polymorphic.
+    declared_type: object = None
 
     def __post_init__(self):
         if not self.name:

@@ -325,6 +325,19 @@ def _erfc(x):
     import jax.scipy.special as sp
     return sp.erfc(x)
 
+def _frexpx(x):
+    m, _ = jnp.frexp(x)
+    return m
+
+
+def _frexpe(x):
+    _, e = jnp.frexp(x)
+    return e.astype(jnp.result_type(x))
+
+
+FREXPX = UnaryOp("GxB_FREXPX", _frexpx)
+FREXPE = UnaryOp("GxB_FREXPE", _frexpe)
+
 CONJ = UnaryOp("GxB_CONJ", jnp.conj)
 CREAL = UnaryOp("GxB_CREAL", jnp.real, ztype=T.FP64)
 CIMAG = UnaryOp("GxB_CIMAG", jnp.imag, ztype=T.FP64)

@@ -24,6 +24,10 @@ class Semiring:
     add: Monoid
     mult: BinaryOp
     name: str = ""
+    # Declared operand/monoid type for NAMED semirings (reference: the T in
+    # GxB_add_mult_T; Include/GraphBLAS.h:8340-8345 "the type T is always
+    # the type of x and y").  None => dtype-polymorphic.
+    declared_type: object = None
 
     def __post_init__(self):
         if not self.name:
