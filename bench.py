@@ -6,9 +6,12 @@ edges) — the y=S*x headline workload of the reference
 reference does GAP-twitter SpMV at 0.61 Gnnz/s on a 20-core Xeon E5-2698 v4
 (BASELINE.md), so vs_baseline = our_gnnz_per_s / 0.61.
 
-Timing: ITERS dependency-chained SpMVs inside ONE jitted fori_loop with a
-single scalar transfer at the end (under the axon tunnel,
-block_until_ready does not wait and bulk transfers dominate otherwise).
+Kernel: the bucket-grid one-hot MXU kernel (graphblas_tpu/kernels/
+spmv_onehot.py).  The plan (bucket layout) is built once on the host —
+it is a storage format, reused across the iteration like any sparse
+format; the timed loop is ITERS dependency-chained SpMVs inside ONE jitted
+fori_loop with a single scalar transfer at the end (under the axon tunnel,
+block_until_ready does not wait and dispatch costs ~30 ms/call).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,14 +22,14 @@ import time
 import numpy as np
 
 BASELINE_GNNZ_S = 0.61  # reference SpMV on 20-core Xeon (BASELINE.md)
-ITERS = 30
+ITERS = 50
 
 
 def main():
     import jax
     import jax.numpy as jnp
     import graphblas_tpu as gb
-    from graphblas_tpu.ops.mxm import spmv_arrays
+    from graphblas_tpu.kernels import spmv_onehot as OH
 
     n = 1 << 20
     deg = 16
@@ -41,22 +44,29 @@ def main():
 
     A = gb.Matrix.from_scipy(S)
     Ar = A.to_orient(gb.ROW)
-    indptr, indices, values = Ar.indptr, Ar.indices, Ar.values
-    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    scale = jnp.float32(1.0 / deg)
+    p = OH.plan_for(Ar.indptr, Ar.indices, Ar.values, (n, n))
+    x0 = rng.standard_normal(n).astype(np.float32)
+    xpad = np.zeros(p.nc * OH.STRIP, np.float32)
+    xpad[:n] = x0
+    scale = np.float32(1.0 / deg)
 
-    @jax.jit
-    def chained(indptr, indices, values, x):
-        def body(i, x):
-            y = spmv_arrays(indptr, indices, values, x, n)
-            return y * scale
-        y = jax.lax.fori_loop(0, ITERS, body, x)
-        return jnp.sum(y)
+    with jax.enable_x64(False):
+        x2 = jnp.asarray(xpad.reshape(p.nc * 64, 128))
 
-    _ = float(np.asarray(chained(indptr, indices, values, x0)))  # compile
-    t0 = time.perf_counter()
-    _ = float(np.asarray(chained(indptr, indices, values, x0)))
-    dt = (time.perf_counter() - t0) / ITERS
+        @jax.jit
+        def chained(rc, cenc, renc, val, x2):
+            def body(i, x2):
+                y = OH._run_inner(rc, cenc, renc, val, x2,
+                                  p.cap, p.nr, p.nc, p.nchunks)
+                return y * scale
+            y = jax.lax.fori_loop(0, ITERS, body, x2)
+            return jnp.sum(y)
+
+        args = (p.rc, p.cenc, p.renc, p.val, x2)
+        _ = float(np.asarray(chained(*args)))  # compile + warm
+        t0 = time.perf_counter()
+        _ = float(np.asarray(chained(*args)))
+        dt = (time.perf_counter() - t0) / ITERS
 
     gnnz = nnz / dt / 1e9
     print(json.dumps({

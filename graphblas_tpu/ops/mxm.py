@@ -266,6 +266,15 @@ def _spmm(A: Matrix, B: Matrix, sr, zt, relabel=_ident_relabel) -> Matrix:
     loops (per-chip analog of saxpy4, Source/GB_AxB_saxpy4.c)."""
     Ar = A.to_format(SPARSE, ROW) if (A.fmt != SPARSE or A.orient != ROW) \
         else A
+    # plus-times SpMV fast path: the bucket-grid one-hot Pallas kernel
+    if (B.ncols == 1 and B.fmt == FULL and sr.add.op.name == "GrB_PLUS"
+            and sr.mult.name == "GrB_TIMES" and not sr.mult.positional
+            and zt.is_float and not zt.is_complex):
+        CFG.burble("spmm: spmv fast path")
+        x = cast(B._vals_expanded()[:, 0], zt)
+        vals = cast(Ar._vals_expanded(), zt)
+        y = spmv_arrays(Ar.indptr, Ar.indices, vals, x, A.nrows)
+        return Matrix((A.nrows, 1), zt, FULL, ROW, values=y[:, None])
     m, k = A.shape
     n = B.ncols
     nnz = int(Ar.indices.shape[0])
@@ -306,9 +315,9 @@ def spmv_arrays(indptr, indices, values, x, m: int):
     nnz = indices.shape[0]
     if _cfg.GLOBAL.pallas_enabled:
         try:
-            from ..kernels import spmv_pallas
-            if spmv_pallas.eligible(m, x.shape[0], nnz):
-                return spmv_pallas.spmv(indptr, indices, values, x, m)
+            from ..kernels import spmv_onehot
+            if spmv_onehot.eligible(m, int(x.shape[0]), int(nnz)):
+                return spmv_onehot.spmv(indptr, indices, values, x, m)
         except Exception:  # pragma: no cover - fall back to XLA path
             pass
     rows = K.expand_rowids(indptr, nnz, m)
