@@ -44,12 +44,23 @@ class _Global:
 GLOBAL = _Global()
 
 
-def init(mode: str = "nonblocking") -> None:
-    """GrB_init (reference: Source/GB_init.c:60-197)."""
+def init(mode: str = "nonblocking", compilation_cache_dir: str | None = None
+         ) -> None:
+    """GrB_init (reference: Source/GB_init.c:60-197).
+
+    ``compilation_cache_dir`` enables XLA's persistent compilation cache —
+    the analog of the reference's PreJIT/JIT kernel cache in
+    ~/.SuiteSparse/GrBx.y.z (Source/GB_jitifyer.c): compiled kernels
+    survive process restarts."""
     GLOBAL.initialized = True
     GLOBAL.blocking = (mode == "blocking")
     if os.environ.get("GB_BURBLE"):
         GLOBAL.burble = True
+    if compilation_cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          str(compilation_cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def finalize() -> None:

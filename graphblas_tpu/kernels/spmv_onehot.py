@@ -135,10 +135,13 @@ def eligible(m: int, n: int, nnz: int) -> bool:
     return n <= MAXN and m <= MAXN and nnz > 0
 
 
-def _onehot(idx_col, width, E):
-    iota = jax.lax.broadcasted_iota(jnp.int32, (E, width), 1).astype(
+def _onehotT(idx_row, width, E):
+    """Transposed one-hot: (width, E) from a (1, E) index row.  The
+    sublane broadcast of idx_row is native-cheap (register replication);
+    exact 0/1 arithmetic, no boolean vectors (Mosaic i1-relayout bug)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (width, E), 0).astype(
         jnp.float32)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(idx_col - iota))
+    return jnp.maximum(0.0, 1.0 - jnp.abs(idx_row - iota))
 
 
 def _kernel(rc_ref, cenc_ref, renc_ref, val_ref, xhi_ref, xlo_ref, y_ref,
@@ -149,13 +152,13 @@ def _kernel(rc_ref, cenc_ref, renc_ref, val_ref, xhi_ref, xlo_ref, y_ref,
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    # one lane->sublane transpose per block: (CPS, cap) -> (cap, CPS);
-    # column j is then chunk j's entries as per-entry sublane rows
-    cencT = jnp.swapaxes(cenc_ref[:], 0, 1)
-    rencT = jnp.swapaxes(renc_ref[:], 0, 1)
-    valT = jnp.swapaxes(val_ref[:], 0, 1)
-    dn = (((1,), (0,)), ((), ()))
-    dnT = (((0,), (0,)), ((), ()))
+    # Entries stay on the LANE axis end to end: sublane slices/broadcasts
+    # are native-cheap, and the MXU absorbs the transposition through the
+    # contraction dims.  (The earlier sublane-major variant needed a
+    # (CPS, cap) -> (cap, CPS) transpose per block costing ~7 ms/SpMV each
+    # at bench scale — see experiments/onehot_ablate3.py.)
+    dg = (((0,), (0,)), ((), ()))   # contract sublane dims
+    dsc = (((1,), (1,)), ((), ()))  # contract lane (entry) dims
     for j in range(CPS):
         # all index math in int32 (x64 mode would inject int64, which
         # Mosaic cannot lower)
@@ -164,31 +167,32 @@ def _kernel(rc_ref, cenc_ref, renc_ref, val_ref, xhi_ref, xlo_ref, y_ref,
         c = jax.lax.rem(rc, jnp.int32(nc))
         Xh = xhi_ref[pl.ds(c * 64, 64), :]
         Xl = xlo_ref[pl.ds(c * 64, 64), :]
-        ce = cencT[:, j:j + 1]
+        ce = cenc_ref[j:j + 1, :]           # (1, cap) sublane slice
         chi = jnp.floor(ce * (1.0 / 128.0))
         clo = ce - 128.0 * chi
-        ohc = _onehot(chi, 64, cap).astype(jnp.bfloat16)
-        t1h = jax.lax.dot_general(ohc, Xh, dn,
-                                  preferred_element_type=jnp.float32)
-        t1l = jax.lax.dot_general(ohc, Xl, dn,
-                                  preferred_element_type=jnp.float32)
-        ohl = _onehot(clo, 128, cap)
-        g = (jnp.sum(t1h * ohl, axis=1, keepdims=True)
-             + jnp.sum(t1l * ohl, axis=1, keepdims=True) * (1.0 / 512.0))
-        prod = g * valT[:, j:j + 1]
-        re = rencT[:, j:j + 1]
+        ohcT = _onehotT(chi, 64, cap).astype(jnp.bfloat16)   # (64, cap)
+        t1hT = jax.lax.dot_general(Xh, ohcT, dg,
+                                   preferred_element_type=jnp.float32)
+        t1lT = jax.lax.dot_general(Xl, ohcT, dg,
+                                   preferred_element_type=jnp.float32)
+        # t1?T: (128, cap) — row l = x value at lane l, per entry
+        ohlT = _onehotT(clo, 128, cap)
+        g = (jnp.sum(t1hT * ohlT, axis=0, keepdims=True)
+             + jnp.sum(t1lT * ohlT, axis=0, keepdims=True) * (1.0 / 512.0))
+        prod = g * val_ref[j:j + 1, :]      # (1, cap)
+        re = renc_ref[j:j + 1, :]
         rhi = jnp.floor(re * (1.0 / 128.0))
         rlo = re - 128.0 * rhi
-        ohr = _onehot(rhi, 64, cap).astype(jnp.bfloat16)
-        pb = _onehot(rlo, 128, cap) * prod
+        ohrT = _onehotT(rhi, 64, cap).astype(jnp.bfloat16)   # (64, cap)
+        pbT = _onehotT(rlo, 128, cap) * prod                 # (128, cap)
         # hi/lo split via mantissa masking (see _run_inner for why)
-        pbi = pltpu.bitcast(pb, jnp.uint32)
+        pbi = pltpu.bitcast(pbT, jnp.uint32)
         pbh_f32 = pltpu.bitcast(pbi & jnp.uint32(0xFFFF0000), jnp.float32)
         pbh = pbh_f32.astype(jnp.bfloat16)
-        pbl = ((pb - pbh_f32) * 512.0).astype(jnp.bfloat16)
-        y2 = (jax.lax.dot_general(ohr, pbh, dnT,
+        pbl = ((pbT - pbh_f32) * 512.0).astype(jnp.bfloat16)
+        y2 = (jax.lax.dot_general(ohrT, pbh, dsc,
                                   preferred_element_type=jnp.float32)
-              + jax.lax.dot_general(ohr, pbl, dnT,
+              + jax.lax.dot_general(ohrT, pbl, dsc,
                                     preferred_element_type=jnp.float32)
               * (1.0 / 512.0))
         ys = pl.ds(r * 64, 64)

@@ -274,7 +274,10 @@ def _spmm(A: Matrix, B: Matrix, sr, zt, relabel=_ident_relabel) -> Matrix:
         x = cast(B._vals_expanded()[:, 0], zt)
         vals = cast(Ar._vals_expanded(), zt)
         y = spmv_arrays(Ar.indptr, Ar.indices, vals, x, A.nrows)
-        return Matrix((A.nrows, 1), zt, FULL, ROW, values=y[:, None])
+        # spec pattern: rows of A with no entries are absent in the output
+        pres = (jnp.diff(Ar.indptr) > 0)[:, None]
+        return Matrix((A.nrows, 1), zt, BITMAP, ROW, values=y[:, None],
+                      bitmap=pres)
     m, k = A.shape
     n = B.ncols
     nnz = int(Ar.indices.shape[0])

@@ -120,3 +120,50 @@ def test_dist_matches_grb_layer(rng, mesh):
     wv, wp = w.to_dense_1d()
     np.testing.assert_allclose(got[np.asarray(wp)],
                                np.asarray(wv)[np.asarray(wp)], rtol=1e-10)
+
+
+def test_dist_mxm_matches_local(rng):
+    import scipy.sparse as sps
+    import graphblas_tpu as gb
+    from graphblas_tpu import parallel as par
+
+    n = 96
+    A = sps.random(n, n, density=0.08, random_state=np.random.RandomState(1),
+                   format="csr", dtype=np.float64)
+    B = sps.random(n, n, density=0.08, random_state=np.random.RandomState(2),
+                   format="csr", dtype=np.float64)
+    mesh = par.make_mesh(8)
+    DA = par.DistMatrix.from_matrix(gb.Matrix.from_scipy(A), mesh)
+    DB = par.DistMatrix.from_matrix(gb.Matrix.from_scipy(B), mesh)
+    DC = par.dist_mxm(DA, DB)
+    # gather result back and compare against scipy
+    got = np.zeros((n, n))
+    ip = np.asarray(DC.indptr)
+    ix = np.asarray(DC.indices)
+    vl = np.asarray(DC.values)
+    nz = np.asarray(DC.nnz)
+    for d in range(DC.ndev):
+        r0 = d * DC.rows_per
+        cnt = int(nz[d])
+        rows = np.repeat(np.arange(ip.shape[1] - 1), np.diff(ip[d]))
+        got[r0 + rows[:cnt], ix[d, :cnt]] = vl[d, :cnt]
+    want = (A @ B).toarray()
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path, rng):
+    import scipy.sparse as sps
+    import graphblas_tpu as gb
+    from graphblas_tpu import parallel as par
+
+    n = 64
+    A = sps.random(n, n, density=0.1, random_state=np.random.RandomState(3),
+                   format="csr", dtype=np.float32)
+    mesh = par.make_mesh(8)
+    D = par.DistMatrix.from_matrix(gb.Matrix.from_scipy(A), mesh)
+    par.save_sharded(D, tmp_path / "ckpt")
+    D2 = par.load_sharded(tmp_path / "ckpt", mesh)
+    x = np.ones(n, np.float32)
+    y1 = np.asarray(par.dist_mxv(D, x))
+    y2 = np.asarray(par.dist_mxv(D2, x))
+    np.testing.assert_allclose(y1, y2)
