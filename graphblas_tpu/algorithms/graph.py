@@ -201,3 +201,94 @@ def triangle_count(A: Matrix) -> int:
                desc=Descriptor(mask_structure=True, transpose1=True),
                out_dtype=T.INT64)
     return int(gb.reduce_scalar(C, MON.PLUS, out_dtype=T.INT64))
+
+
+# ---------------------------------------------------------------------------
+# Connected components (FastSV) and SSSP (Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+def connected_components(A: Matrix):
+    """Connected components via FastSV (LAGraph algorithm; reference
+    workload class: min_second semiring iteration).  Returns int32 labels
+    (the minimum vertex id of each component).  A is treated as
+    undirected: both edge directions are used."""
+    Ar = A.to_format(SPARSE, ROW)
+    n = A.nrows
+    nnz = int(Ar.indices.shape[0])
+    rows = K.expand_rowids(Ar.indptr, nnz, n)
+    cols = Ar.indices
+    return _cc_fused(rows, cols, n)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _cc_fused(rows, cols, n):
+    f = jnp.arange(n, dtype=jnp.int32)  # parent vector
+
+    def body(state):
+        f, changed = state
+        # hook: f[u] = min over neighbors v of f[f[v]]  (grandparent hook)
+        gf = f[f]
+        cand_r = jnp.minimum(gf[rows], gf[cols])
+        # scatter-min both directions
+        fn_ = f.at[f[rows]].min(cand_r)
+        fn_ = fn_.at[f[cols]].min(cand_r)
+        fn_ = fn_.at[rows].min(cand_r)
+        fn_ = fn_.at[cols].min(cand_r)
+        # shortcut (pointer jumping)
+        fn_ = fn_[fn_]
+        return fn_, jnp.any(fn_ != f)
+
+    def cond(state):
+        return state[1]
+
+    f, _ = jax.lax.while_loop(cond, body, (f, jnp.bool_(True)))
+    return f
+
+
+def sssp(A: Matrix, source: int, max_iter: int | None = None):
+    """Single-source shortest paths via Bellman-Ford over the min-plus
+    semiring (reference idiom: GrB_vxm with GrB_MIN_PLUS_SEMIRING in a
+    loop).  Returns fp64 distances, inf where unreachable."""
+    Ar = A.to_format(SPARSE, ROW)
+    n = A.nrows
+    nnz = int(Ar.indices.shape[0])
+    rows = K.expand_rowids(Ar.indptr, nnz, n)
+    return _sssp_fused(rows, Ar.indices, Ar._vals_expanded(), jnp.int32(source),
+                       n, max_iter or n)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _sssp_fused(rows, cols, w, source, n, max_iter):
+    dist = jnp.full((n,), jnp.inf, jnp.float64).at[source].set(0.0)
+    w = w.astype(jnp.float64)
+
+    def body(state):
+        dist, it, changed = state
+        relax = dist[rows] + w
+        nd = dist.at[cols].min(relax)
+        return nd, it + 1, jnp.any(nd < dist)
+
+    def cond(state):
+        _, it, changed = state
+        return changed & (it < max_iter)
+
+    dist, _, _ = jax.lax.while_loop(
+        cond, body, (dist, jnp.int32(0), jnp.bool_(True)))
+    return dist
+
+
+def sssp_grb(A: Matrix, source: int):
+    """GrB-tier SSSP: min-plus vxm iteration through the public op layer
+    (proves the reference idiom composes; the fused tier is the fast
+    path)."""
+    import graphblas_tpu as gb
+    n = A.nrows
+    d = Vector.from_dense_masked(np.zeros(n), np.arange(n) == source)
+    d = gb.apply(d, gb.operators.IDENTITY, out_dtype=T.FP64)
+    while True:
+        relaxed = gb.vxm(d, A, SR.MIN_PLUS, out_dtype=T.FP64)
+        nd = gb.ewise_add(d, relaxed, gb.operators.MIN)
+        if nd.isequal(d):
+            break
+        d = nd
+    return d

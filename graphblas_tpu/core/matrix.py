@@ -155,8 +155,8 @@ class Matrix:
     def new(cls, dtype, nrows, ncols, fmt=SPARSE, orient=None):
         """GrB_Matrix_new: empty matrix."""
         if fmt in (BITMAP, FULL):
-            dt = T.lookup(dtype).np_dtype
-            vals = jnp.zeros((nrows, ncols), dt)
+            ty = T.lookup(dtype)
+            vals = jnp.zeros((nrows, ncols) + ty.shape, ty.np_dtype)
             bm = jnp.zeros((nrows, ncols), bool) if fmt == BITMAP else None
             return cls((nrows, ncols), dtype, fmt, orient, values=vals,
                        bitmap=bm)
@@ -253,14 +253,15 @@ class Matrix:
     # -- values access -----------------------------------------------------
 
     def _vals_expanded(self):
-        """values with iso-compression undone (sparse formats: length nnz;
-        bitmap/full: (nrows, ncols))."""
+        """values with iso-compression undone (sparse formats: length nnz
+        [+ struct field dims]; bitmap/full: (nrows, ncols[, *fields]))."""
+        ts = self.dtype.shape
         if not self.iso:
             return self.values
         if self.fmt in (SPARSE, HYPER):
             n = self.indices.shape[0]
-            return jnp.broadcast_to(self.values.reshape(()), (n,))
-        return jnp.broadcast_to(self.values.reshape(()), self.shape)
+            return jnp.broadcast_to(self.values.reshape(ts), (n,) + ts)
+        return jnp.broadcast_to(self.values.reshape(ts), self.shape + ts)
 
     def iso_value(self):
         if not self.iso:
@@ -275,16 +276,17 @@ class Matrix:
         if self._pending:
             self.wait()
         dt = self.dtype.np_dtype
+        ts = self.dtype.shape
         fill = dt.type(0) if fill is None else dt.type(fill)
         if self.fmt == FULL:
             return self._vals_expanded(), jnp.ones(self.shape, bool)
         if self.fmt == BITMAP:
             v = self._vals_expanded()
-            return jnp.where(self.bitmap, v, fill), self.bitmap
+            return T.wh(self.bitmap, v, fill), self.bitmap
         a = self.to_format(SPARSE) if self.fmt == HYPER else self
         rows, cols = a._coords()
         vals = a._vals_expanded()
-        dense = jnp.full(self.shape, fill, dt).at[rows, cols].set(vals)
+        dense = jnp.full(self.shape + ts, fill, dt).at[rows, cols].set(vals)
         present = jnp.zeros(self.shape, bool).at[rows, cols].set(True)
         return dense, present
 
@@ -543,7 +545,7 @@ class Matrix:
         if self.fmt == BITMAP and self.bitmap.shape != self.shape:
             raise E.InvalidObject("bitmap shape")
         if self.fmt in (BITMAP, FULL) and not self.iso:
-            if self.values.shape != self.shape:
+            if self.values.shape != self.shape + self.dtype.shape:
                 raise E.InvalidObject("values shape")
 
     def fprint(self, level: int = 2, name: str = "", file=None) -> None:

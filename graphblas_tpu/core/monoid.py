@@ -79,8 +79,15 @@ class Monoid:
 
 def monoid(op: BinaryOp, identity, terminal=None, name="") -> Monoid:
     """User-defined monoid (reference: GrB_Monoid_new).  ``identity`` and
-    ``terminal`` may be scalars or dtype->scalar callables."""
-    idf = identity if callable(identity) else _id_const(identity)
+    ``terminal`` may be scalars, arrays (struct types), or dtype->scalar
+    callables."""
+    if callable(identity):
+        idf = identity
+    elif isinstance(identity, (list, tuple, np.ndarray)):
+        ia = np.asarray(identity)
+        idf = lambda dt: ia.astype(dt)
+    else:
+        idf = _id_const(identity)
     tf = None if terminal is None else (
         terminal if callable(terminal) else _id_const(terminal))
     return Monoid(op, idf, tf, name=name or f"{op.name}_MONOID")

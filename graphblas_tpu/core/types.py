@@ -21,10 +21,17 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class Type:
-    """A GraphBLAS scalar type (reference: GrB_Type, Source/GB_opaque.h)."""
+    """A GraphBLAS scalar type (reference: GrB_Type, Source/GB_opaque.h).
+
+    ``shape`` != () makes this a user-defined struct/array type (the
+    reference's GrB_Type_new with sizeof(struct): Demo gauss/wildtype
+    types).  Values of such a type are arrays of ``dtype`` with trailing
+    dims ``shape`` — a struct of homogeneous fields stored SoA-on-TPU.
+    User operators receive/return (..., *shape) arrays."""
 
     name: str
-    dtype: Any  # numpy dtype
+    dtype: Any  # numpy dtype of the (scalar or field) element
+    shape: tuple = ()
 
     @property
     def np_dtype(self):
@@ -44,7 +51,11 @@ class Type:
 
     @property
     def is_bool(self) -> bool:
-        return self.np_dtype == np.bool_
+        return self.np_dtype == np.bool_ and not self.shape
+
+    @property
+    def is_struct(self) -> bool:
+        return bool(self.shape)
 
     @property
     def is_signed(self) -> bool:
@@ -96,15 +107,43 @@ def lookup(x) -> Type:
         raise KeyError(f"no GraphBLAS type for dtype {dt!r}") from None
 
 
+def struct_type(name: str, dtype, shape) -> Type:
+    """User-defined struct/array type (reference: GrB_Type_new;
+    Demo/Program/gauss_demo.c, wildtype_demo.c).  ``shape`` is the field
+    shape, e.g. (2,) for a 2-int gauss struct, (4, 4) for wildtype."""
+    return Type(name, np.dtype(dtype), tuple(int(d) for d in shape))
+
+
+def expand_mask(mask, vals):
+    """Right-pad a boolean mask's dims to broadcast over values that carry
+    trailing struct-field dims."""
+    extra = vals.ndim - mask.ndim
+    if extra <= 0:
+        return mask
+    return mask.reshape(mask.shape + (1,) * extra)
+
+
+def wh(mask, a, b):
+    """jnp.where with the mask broadcast over struct-field dims."""
+    a = jnp.asarray(a)
+    nd = max(a.ndim, jnp.asarray(b).ndim)
+    extra = nd - mask.ndim
+    if extra > 0:
+        mask = mask.reshape(mask.shape + (1,) * extra)
+    return jnp.where(mask, a, b)
+
+
 def cast(value, to: Type | Any):
     """GraphBLAS typecast (reference: Source/GB_casting.h).
 
     Matches the reference semantics: float->integer uses round-to-nearest
     (the reference casts via nearbyint, GB_casting.h GB_cast_to_int*), and
-    anything->bool is (x != 0).
+    anything->bool is (x != 0).  Struct types cast only to themselves.
     """
     to = lookup(to)
     src = jnp.asarray(value)
+    if to.is_struct:
+        return src.astype(to.np_dtype)
     if src.dtype == to.np_dtype:
         return src
     if to.is_bool:

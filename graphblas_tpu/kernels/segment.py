@@ -158,9 +158,19 @@ def segment_reduce(vals, seg_ids, num_segments: int, monoid: Monoid,
     return out.at[tgt].set(scanned, mode="drop")
 
 
-def full_reduce(vals, monoid: Monoid, dtype=None):
-    """Reduce a whole array under a monoid (GrB_reduce to scalar)."""
+def full_reduce(vals, monoid: Monoid, dtype=None, field_ndim: int = 0):
+    """Reduce a whole array under a monoid (GrB_reduce to scalar).
+    ``field_ndim`` > 0: the trailing dims are struct fields — reduce over
+    the entry axes only (user-defined struct types)."""
     dt = dtype or vals.dtype
+    if field_ndim:
+        ts = vals.shape[vals.ndim - field_ndim:]
+        flat = vals.reshape((-1,) + ts).astype(dt)
+        if flat.shape[0] == 0:
+            return jnp.broadcast_to(
+                jnp.asarray(monoid.identity_for(dt), dt), ts)
+        seg = jnp.zeros(flat.shape[0], jnp.int32)
+        return segment_reduce(flat, seg, 1, monoid)[0]
     vals = vals.reshape(-1).astype(dt)
     ident = jnp.asarray(monoid.identity_for(dt), dt)
     if vals.shape[0] == 0:

@@ -19,8 +19,10 @@ Design:
   * Entry arrays are stored (nchunks, cap) — chunk per row, entries along
     lanes (compact HBM layout; an (N, 1) array would get a T(8,128) tiled
     layout, a 128x blowup).  The kernel loads CPS chunks per grid step and
-    transposes once to (cap, CPS); column j is then chunk j's entries as
-    per-entry sublane rows, the shape the one-hot construction wants.
+    keeps entries on the LANE axis end to end: sublane slices/broadcasts
+    are native-cheap and the MXU absorbs transposition via contraction
+    dims (an explicit per-block transpose costs ~7 ms/SpMV at bench
+    scale — experiments/onehot_ablate3.py).
   * Per chunk at bucket (r, c):
       gather:  t1 = onehot64(cenc>>7) @ X_strip(64,128)        [MXU]
                g  = sum(t1 * onehot128(cenc&127), axis=1)      [VPU]

@@ -67,7 +67,7 @@ def _apply_unary(A, op, zt):
     if A.fmt in (BITMAP, FULL):
         v, p = A.to_dense_pair()
         zv = cast(op.fn(v), zt)
-        zv = jnp.where(p, zv, jnp.zeros((), zt.np_dtype))
+        zv = T.wh(p, zv, jnp.zeros((), zt.np_dtype))
         return Matrix(A.shape, zt, BITMAP if A.fmt == BITMAP else FULL,
                       A.orient, values=zv,
                       bitmap=p if A.fmt == BITMAP else None)
@@ -99,7 +99,7 @@ def _apply_idx(A, op, thunk, zt):
         ii, jj = _coords_dense(A)
         v, p = A.to_dense_pair()
         zv = cast(op.fn(v, ii, jj, thunk), zt)
-        zv = jnp.where(p, zv, jnp.zeros((), zt.np_dtype))
+        zv = T.wh(p, zv, jnp.zeros((), zt.np_dtype))
         return Matrix(A.shape, zt, A.fmt, A.orient, values=zv,
                       bitmap=p if A.fmt == BITMAP else None)
     S = A.to_format(SPARSE) if A.fmt == HYPER else A

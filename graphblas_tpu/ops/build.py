@@ -44,12 +44,15 @@ def _resolve_dup(dup) -> BinaryOp:
 def _dedup(sorted_vals, gid, ng: int, dup: BinaryOp, is_first, is_last):
     """Combine duplicate groups under the dup operator (builder step 5)."""
     dt = sorted_vals.dtype
+    trail = sorted_vals.shape[1:]
     if dup.name == "GrB_FIRST":
         tgt = jnp.where(is_first, gid, ng)
-        return jnp.zeros((ng,), dt).at[tgt].set(sorted_vals, mode="drop")
+        return jnp.zeros((ng,) + trail, dt).at[tgt].set(sorted_vals,
+                                                        mode="drop")
     if dup.name in ("GrB_SECOND", "GxB_ANY"):
         tgt = jnp.where(is_last, gid, ng)
-        return jnp.zeros((ng,), dt).at[tgt].set(sorted_vals, mode="drop")
+        return jnp.zeros((ng,) + trail, dt).at[tgt].set(sorted_vals,
+                                                        mode="drop")
     if dup.name in _DUP_MONOIDS:
         return K.segment_reduce(sorted_vals, gid, ng, _DUP_MONOIDS[dup.name])
     # arbitrary associative dup op: generic segmented scan
@@ -65,15 +68,20 @@ def build_matrix(cls, rows, cols, vals, shape, dtype, dup, orient, iso):
     n = rows.shape[0]
     dup = _resolve_dup(dup)
 
+    dt = T.lookup(dtype) if dtype is not None else None
+    ts = dt.shape if dt is not None else ()
     if iso:
-        scal = jnp.asarray(vals).reshape(())
-        dt = T.lookup(dtype) if dtype is not None else T.lookup(scal.dtype)
-        vals_arr = jnp.broadcast_to(scal.astype(dt.np_dtype), (n,))
+        scal = jnp.asarray(vals).reshape(ts)
+        if dt is None:
+            dt = T.lookup(scal.dtype)
+        vals_arr = jnp.broadcast_to(scal.astype(dt.np_dtype), (n,) + ts)
     else:
-        vals_arr = jnp.asarray(vals).reshape(-1)
+        vals_arr = jnp.asarray(vals)
+        vals_arr = vals_arr.reshape((-1,) + ts)
         if vals_arr.shape[0] == 1 and n > 1:
-            vals_arr = jnp.broadcast_to(vals_arr, (n,))
-        dt = T.lookup(dtype) if dtype is not None else T.lookup(vals_arr.dtype)
+            vals_arr = jnp.broadcast_to(vals_arr, (n,) + ts)
+        if dt is None:
+            dt = T.lookup(vals_arr.dtype)
         vals_arr = vals_arr.astype(dt.np_dtype)
     if vals_arr.shape[0] != n:
         raise E.DimensionMismatch("build: index/value length mismatch")
@@ -98,7 +106,8 @@ def build_matrix(cls, rows, cols, vals, shape, dtype, dup, orient, iso):
         nvec = nrows if orient == ROW else ncols
         out = object.__new__(cls)
         _init_sparse(out, shape, dt, orient, jnp.zeros(nvec + 1, INDEX),
-                     jnp.zeros(0, INDEX), jnp.zeros(0, dt.np_dtype), False)
+                     jnp.zeros(0, INDEX),
+                     jnp.zeros((0,) + dt.shape, dt.np_dtype), False)
         return out
 
     order, skeys = K.sort_coo(vec_ids, idx, veclen)
@@ -113,8 +122,8 @@ def build_matrix(cls, rows, cols, vals, shape, dtype, dup, orient, iso):
 
     out = object.__new__(cls)
     _init_sparse(out, shape, dt, orient, indptr, uidx,
-                 jnp.asarray(vals).reshape(-1)[:1].astype(dt.np_dtype)
-                 if iso else out_vals, iso)
+                 jnp.asarray(vals).reshape((-1,) + dt.shape)[:1]
+                 .astype(dt.np_dtype) if iso else out_vals, iso)
     return out
 
 

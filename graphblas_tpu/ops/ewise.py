@@ -81,8 +81,8 @@ def _ewise_dense(A, B, op, mode, zt, alpha, beta):
               "firstj1": jj + 1, "secondi": ii, "secondi1": ii + 1,
               "secondj": jj, "secondj1": jj + 1}[k].astype(zt.np_dtype)
     elif mode == "union":
-        a_ = jnp.where(ap, av, jnp.asarray(alpha, av.dtype))
-        b_ = jnp.where(bp, bv, jnp.asarray(beta, bv.dtype))
+        a_ = T.wh(ap, av, jnp.asarray(alpha, av.dtype))
+        b_ = T.wh(bp, bv, jnp.asarray(beta, bv.dtype))
         zv = cast(op.fn(a_, b_), zt)
     else:
         zv = cast(op.fn(av, bv), zt)
@@ -92,9 +92,8 @@ def _ewise_dense(A, B, op, mode, zt, alpha, beta):
         pat = ap | bp
         if mode == "add" and not op.positional:
             both = ap & bp
-            zv = jnp.where(both, zv,
-                           jnp.where(ap, cast(av, zt), cast(bv, zt)))
-    zv = jnp.where(pat, zv, jnp.zeros((), zt.np_dtype))
+            zv = T.wh(both, zv, T.wh(ap, cast(av, zt), cast(bv, zt)))
+    zv = T.wh(pat, zv, jnp.zeros((), zt.np_dtype))
     return Matrix(A.shape, zt, BITMAP, A.orient, values=zv, bitmap=pat)
 
 
@@ -110,15 +109,14 @@ def _ewise_sparse(A, B, op, mode, zt, alpha, beta):
     if op.positional:
         zv = _positional_vals(op, ukeys, veclen, orient, zt.np_dtype)
     elif mode == "union":
-        a_ = jnp.where(a_in, uav, jnp.asarray(alpha, uav.dtype))
-        b_ = jnp.where(b_in, ubv, jnp.asarray(beta, ubv.dtype))
+        a_ = T.wh(a_in, uav, jnp.asarray(alpha, uav.dtype))
+        b_ = T.wh(b_in, ubv, jnp.asarray(beta, ubv.dtype))
         zv = cast(op.fn(a_, b_), zt)
     else:
         zv = cast(op.fn(uav, ubv), zt)
     if mode == "add" and not op.positional:
         both = a_in & b_in
-        zv = jnp.where(both, zv,
-                       jnp.where(a_in, cast(uav, zt), cast(ubv, zt)))
+        zv = T.wh(both, zv, T.wh(a_in, cast(uav, zt), cast(ubv, zt)))
     if mode == "mult":
         keep = a_in & b_in
         cnt, (fk, fv) = K.compact(keep, ukeys, zv)

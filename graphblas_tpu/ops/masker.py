@@ -117,12 +117,12 @@ def _writeback_dense(C, mask, accum, Tm, desc, dt):
     else:
         both = cp & tp
         acc = cast(accum.fn(cv, tv), dt)
-        zv = jnp.where(both, acc, jnp.where(tp, tv, cv))
+        zv = T.wh(both, acc, T.wh(tp, tv, cv))
         zp = cp | tp
     m = mask_bits_dense(mask, C.shape, desc)
-    rv = jnp.where(m, zv, cv)
+    rv = T.wh(m, zv, cv)
     rp = (zp & m) if desc.replace else jnp.where(m, zp, cp)
-    rv = jnp.where(rp, rv, jnp.zeros((), dt.np_dtype))
+    rv = T.wh(rp, rv, jnp.zeros((), dt.np_dtype))
     out = Matrix((C.nrows, C.ncols), dt, BITMAP, C.orient,
                  values=rv, bitmap=rp)
     return out
@@ -139,12 +139,12 @@ def _writeback_sparse(C, mask, accum, Tm, desc, dt):
     tvals = cast(tvals, dt)
     ukeys, ucv, utv, c_in, t_in = K.union_merge(ck, cvals, tk, tvals)
     if accum is None:
-        zv = jnp.where(t_in, utv, ucv)
+        zv = T.wh(t_in, utv, ucv)
         z_in = t_in
     else:
         both = c_in & t_in
-        zv = jnp.where(both, cast(accum.fn(ucv, utv), dt),
-                       jnp.where(t_in, utv, ucv))
+        zv = T.wh(both, cast(accum.fn(ucv, utv), dt),
+                  T.wh(t_in, utv, ucv))
         z_in = c_in | t_in
     if mask is None:
         m = jnp.zeros(ukeys.shape, bool) if desc.mask_complement else \
@@ -152,7 +152,7 @@ def _writeback_sparse(C, mask, accum, Tm, desc, dt):
     else:
         m = mask_bits_at_keys(mask, ukeys, C._veclen(), orient, desc)
     keep = (z_in & m) if desc.replace else (z_in & m) | (c_in & ~m)
-    rvals = jnp.where(m, zv, ucv)
+    rvals = T.wh(m, zv, ucv)
     cnt, (fk, fv) = K.compact(keep, ukeys, rvals)
     veclen = C._veclen()
     nvec = C._nvec_dim()

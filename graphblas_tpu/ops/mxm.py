@@ -188,10 +188,10 @@ def _mxm_dense(A, B, sr, zt, relabel=_ident_relabel) -> Matrix:
 
     def body(carry, kc):
         acc, pres = carry
-        a_blk = jax.lax.dynamic_slice(av, (0, kc), (m, CHUNK))
-        ap_blk = jax.lax.dynamic_slice(ap, (0, kc), (m, CHUNK))
-        b_blk = jax.lax.dynamic_slice(bv, (kc, 0), (CHUNK, n))
-        bp_blk = jax.lax.dynamic_slice(bp, (kc, 0), (CHUNK, n))
+        a_blk = jax.lax.dynamic_slice_in_dim(av, kc, CHUNK, axis=1)
+        ap_blk = jax.lax.dynamic_slice_in_dim(ap, kc, CHUNK, axis=1)
+        b_blk = jax.lax.dynamic_slice_in_dim(bv, kc, CHUNK, axis=0)
+        bp_blk = jax.lax.dynamic_slice_in_dim(bp, kc, CHUNK, axis=0)
         both = ap_blk[:, :, None] & bp_blk[None, :, :]
         if mult.positional:
             ii = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int64)[:, None, None],
@@ -204,24 +204,34 @@ def _mxm_dense(A, B, sr, zt, relabel=_ident_relabel) -> Matrix:
             ri, rk, rj = relabel(ii, kk, jj)
             prod = _positional_product_vals(mult.positional, ri, rk, rj, zt)
         else:
-            prod = cast(mult.fn(a_blk[:, :, None], b_blk[None, :, :]), zt)
-        prod = jnp.where(both, prod, ident)
+            # struct types: operands carry trailing field dims; insert the
+            # broadcast axis at position 2/0 of the ENTRY dims
+            if zt.shape:
+                fa = a_blk.reshape(a_blk.shape[:2] + (1,) + a_blk.shape[2:])
+                fb = b_blk.reshape((1,) + b_blk.shape)
+                prod = cast(mult.fn(fa, fb), zt)
+            else:
+                prod = cast(mult.fn(a_blk[:, :, None], b_blk[None, :, :]), zt)
+        prod = T.wh(both, prod, ident)
         red = _reduce_axis1(prod, add, zt)
         anyp = jnp.any(both, axis=1)
-        newacc = jnp.where(anyp, cast(add.op.fn(acc, red), zt), acc)
-        newacc = jnp.where(anyp & ~pres, red, newacc)
+        newacc = T.wh(anyp, cast(add.op.fn(acc, red), zt), acc)
+        newacc = T.wh(anyp & ~pres, red, newacc)
         return (newacc, pres | anyp), None
 
     kpad = -(-k // CHUNK) * CHUNK
     if kpad != k:
-        av = jnp.pad(av, ((0, 0), (0, kpad - k)))
+        padA = ((0, 0), (0, kpad - k)) + ((0, 0),) * len(zt.shape)
+        padB = ((0, kpad - k), (0, 0)) + ((0, 0),) * len(zt.shape)
+        av = jnp.pad(av, padA)
         ap = jnp.pad(ap, ((0, 0), (0, kpad - k)))
-        bv = jnp.pad(bv, ((0, kpad - k), (0, 0)))
+        bv = jnp.pad(bv, padB)
         bp = jnp.pad(bp, ((0, kpad - k), (0, 0)))
-    init = (jnp.full((m, n), ident), jnp.zeros((m, n), bool))
+    init = (jnp.broadcast_to(ident, (m, n) + zt.shape).astype(zt.np_dtype),
+            jnp.zeros((m, n), bool))
     (acc, pres), _ = jax.lax.scan(
         body, init, jnp.arange(0, kpad, CHUNK))
-    acc = jnp.where(pres, acc, jnp.zeros((), zt.np_dtype))
+    acc = T.wh(pres, acc, jnp.zeros((), zt.np_dtype))
     return Matrix((m, n), zt, BITMAP, A.orient, values=acc, bitmap=pres)
 
 
@@ -266,17 +276,21 @@ def _spmm(A: Matrix, B: Matrix, sr, zt, relabel=_ident_relabel) -> Matrix:
     loops (per-chip analog of saxpy4, Source/GB_AxB_saxpy4.c)."""
     Ar = A.to_format(SPARSE, ROW) if (A.fmt != SPARSE or A.orient != ROW) \
         else A
-    # plus-times SpMV fast path: the bucket-grid one-hot Pallas kernel
-    if (B.ncols == 1 and B.fmt == FULL and sr.add.op.name == "GrB_PLUS"
+    # plus-times SpMV/SpMM fast path: the bucket-grid one-hot Pallas kernel
+    # per dense column (the reference's C=S*F workload with narrow F)
+    if (B.ncols <= 8 and B.fmt == FULL and sr.add.op.name == "GrB_PLUS"
             and sr.mult.name == "GrB_TIMES" and not sr.mult.positional
             and zt.is_float and not zt.is_complex):
-        CFG.burble("spmm: spmv fast path")
-        x = cast(B._vals_expanded()[:, 0], zt)
+        CFG.burble("spmm: spmv fast path (%d col)", B.ncols)
         vals = cast(Ar._vals_expanded(), zt)
-        y = spmv_arrays(Ar.indptr, Ar.indices, vals, x, A.nrows)
+        bv = cast(B._vals_expanded(), zt)
+        cols = [spmv_arrays(Ar.indptr, Ar.indices, vals, bv[:, k], A.nrows)
+                for k in range(B.ncols)]
+        y = jnp.stack(cols, axis=1)
         # spec pattern: rows of A with no entries are absent in the output
-        pres = (jnp.diff(Ar.indptr) > 0)[:, None]
-        return Matrix((A.nrows, 1), zt, BITMAP, ROW, values=y[:, None],
+        pres = jnp.broadcast_to((jnp.diff(Ar.indptr) > 0)[:, None],
+                                (A.nrows, B.ncols))
+        return Matrix((A.nrows, B.ncols), zt, BITMAP, ROW, values=y,
                       bitmap=pres)
     m, k = A.shape
     n = B.ncols

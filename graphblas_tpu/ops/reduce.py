@@ -81,13 +81,16 @@ def reduce_to_scalar(A: Matrix, mon: Monoid, *, accum=None, init=None,
     identity (reference: GrB_Matrix_reduce semantics)."""
     dt = T.lookup(out_dtype) if out_dtype else A.dtype
     CFG.burble("reduce_to_scalar %s (%s)", mon.name, A.fmt)
+    fnd = len(dt.shape)
     if A.fmt in (BITMAP, FULL):
         v, p = A.to_dense_pair()
         ident = jnp.asarray(mon.identity_for(dt.np_dtype), dt.np_dtype)
-        vals = jnp.where(p, cast(v, dt), ident).reshape(-1)
+        vals = T.wh(p, cast(v, dt), ident)
+        if not fnd:
+            vals = vals.reshape(-1)
     else:
         vals = cast(A._vals_expanded(), dt)
-    r = K.full_reduce(vals, mon, dt.np_dtype)
+    r = K.full_reduce(vals, mon, dt.np_dtype, field_ndim=fnd)
     if accum is not None and init is not None:
         r = cast(accum.fn(jnp.asarray(init), r), dt)
     return np.asarray(r)[()]

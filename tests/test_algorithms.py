@@ -110,3 +110,55 @@ def test_triangle_count_known():
     d = np.ones((5, 5)) - np.eye(5)
     A = gb.Matrix.from_scipy(sps.csr_matrix(d))
     assert alg.triangle_count(A) == 10
+
+
+def test_connected_components_vs_scipy(rng):
+    import scipy.sparse as sps
+    import scipy.sparse.csgraph as csg
+    import graphblas_tpu as gb
+    from graphblas_tpu.algorithms import graph as GA
+
+    n = 200
+    S = sps.random(n, n, density=0.01, random_state=np.random.RandomState(5),
+                   format="csr")
+    S = S + S.T  # undirected
+    ncc, labels = csg.connected_components(S, directed=False)
+    got = np.asarray(GA.connected_components(gb.Matrix.from_scipy(
+        sps.csr_matrix(S))))
+    # same partition: map each scipy label to our representative
+    for lbl in range(ncc):
+        reps = np.unique(got[labels == lbl])
+        assert reps.shape[0] == 1, f"component {lbl} split: {reps}"
+    assert np.unique(got).shape[0] == ncc
+
+
+def test_sssp_vs_scipy(rng):
+    import scipy.sparse as sps
+    import scipy.sparse.csgraph as csg
+    import graphblas_tpu as gb
+    from graphblas_tpu.algorithms import graph as GA
+
+    n = 120
+    S = sps.random(n, n, density=0.05, random_state=np.random.RandomState(6),
+                   format="csr")
+    S.data = np.abs(S.data) + 0.1
+    want = csg.dijkstra(S, indices=0)
+    got = np.asarray(GA.sssp(gb.Matrix.from_scipy(S), 0))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_sssp_grb_tier(rng):
+    import scipy.sparse as sps
+    import scipy.sparse.csgraph as csg
+    import graphblas_tpu as gb
+    from graphblas_tpu.algorithms import graph as GA
+
+    n = 40
+    S = sps.random(n, n, density=0.12, random_state=np.random.RandomState(7),
+                   format="csr")
+    S.data = np.abs(S.data) + 0.1
+    want = csg.dijkstra(S, indices=0)
+    d = GA.sssp_grb(gb.Matrix.from_scipy(S), 0)
+    dv, dp = d.to_dense_1d()
+    got = np.where(np.asarray(dp), np.asarray(dv), np.inf)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
