@@ -128,8 +128,60 @@ def vxm(u: Matrix, A: Matrix, sr: Semiring, *, C=None, mask=None,
 # method selection (the GB_AxB_meta analog)
 # ---------------------------------------------------------------------------
 
+def _is_diagonal(a: Matrix) -> bool:
+    """Host-side diagonal-operand detection (reference: GB_AxB_meta.c
+    rowscale/colscale selection, Source/GB_rowscale.c / GB_colscale.c)."""
+    if a.fmt not in (SPARSE,) or a.nrows != a.ncols or a._pending:
+        return False
+    nnz = int(a.indices.shape[0])
+    if nnz != a.nrows:
+        return False
+    ip = np.asarray(a.indptr)
+    if not (np.diff(ip) == 1).all():
+        return False
+    return bool((np.asarray(a.indices) == np.arange(nnz)).all())
+
+
+def _rowscale(D: Matrix, B: Matrix, sr, zt, relabel) -> Matrix:
+    """C = D*B with D diagonal: scale B's vector-k entries by d[k]."""
+    if sr.mult.positional:
+        return None
+    d = D._vals_expanded()
+    Br = B.to_format(SPARSE, ROW) if (B.fmt != SPARSE or B.orient != ROW) \
+        else B
+    nnz = int(Br.indices.shape[0])
+    rows = K.expand_rowids(Br.indptr, nnz, B.nrows)
+    vals = cast(sr.mult.fn(d[rows], Br._vals_expanded()), zt)
+    from ..core.convert import _clone
+    return _clone(Br, dtype=zt, values=vals, iso=False)
+
+
+def _colscale(A: Matrix, D: Matrix, sr, zt, relabel) -> Matrix:
+    """C = A*D with D diagonal: scale A's column-j entries by d[j]."""
+    if sr.mult.positional:
+        return None
+    d = D._vals_expanded()
+    Ar = A.to_format(SPARSE, ROW) if (A.fmt != SPARSE or A.orient != ROW) \
+        else A
+    vals = cast(sr.mult.fn(Ar._vals_expanded(), d[Ar.indices]), zt)
+    from ..core.convert import _clone
+    return _clone(Ar, dtype=zt, values=vals, iso=False)
+
+
 def _mxm_dispatch(A, B, sr, zt, mask, desc, accum,
                   relabel=_ident_relabel) -> Matrix:
+    # diagonal-operand fast paths (reference: GB_rowscale / GB_colscale)
+    if not _dense(A) and not _dense(B) and relabel is _ident_relabel:
+        if _is_diagonal(A):
+            out = _rowscale(A, B, sr, zt, relabel)
+            if out is not None:
+                CFG.burble("mxm: rowscale (diagonal A)")
+                return out
+        if _is_diagonal(B):
+            out = _colscale(A, B, sr, zt, relabel)
+            if out is not None:
+                CFG.burble("mxm: colscale (diagonal B)")
+                return out
     if desc.axb_method == "dense" or (_dense(A) and _dense(B)):
         CFG.burble("mxm: dense path (%s x %s)", A.fmt, B.fmt)
         return _mxm_dense(A, B, sr, zt, relabel)

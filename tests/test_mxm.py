@@ -171,3 +171,22 @@ def test_mxm_dim_mismatch(rng):
     B, _ = random_gb(rng, 5, 6, 0.3)
     with pytest.raises(gb.errors.DimensionMismatch):
         gb.mxm(A, B, sr.PLUS_TIMES)
+
+
+def test_rowscale_colscale_diagonal(rng):
+    """Diagonal-operand fast paths (reference: GB_rowscale/GB_colscale)."""
+    import scipy.sparse as sps
+    n = 30
+    S = sps.random(n, n, density=0.2, random_state=np.random.RandomState(9),
+                   format="csr", dtype=np.float64)
+    d = rng.standard_normal(n)
+    D = gb.api.diag(gb.Vector.from_dense(d))
+    A = gb.Matrix.from_scipy(S)
+    C1 = gb.mxm(D, A, sr.PLUS_TIMES)        # rowscale
+    C2 = gb.mxm(A, D, sr.PLUS_TIMES)        # colscale
+    want1 = sps.diags(d) @ S
+    want2 = S @ sps.diags(d)
+    np.testing.assert_allclose(np.asarray(C1.to_dense_pair()[0]),
+                               want1.toarray(), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(C2.to_dense_pair()[0]),
+                               want2.toarray(), rtol=1e-12)
