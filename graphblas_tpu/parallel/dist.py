@@ -515,3 +515,104 @@ def load_sharded(directory, mesh: Mesh) -> "DistMatrix":
                       jax.device_put(jnp.asarray(vl), sh),
                       jax.device_put(jnp.asarray(nz), sh),
                       man["rows_per"], man["axis"])
+
+
+# ---------------------------------------------------------------------------
+# 2-D block partition (net-new; SURVEY.md §7 step 7 "then 2D")
+# ---------------------------------------------------------------------------
+
+def make_mesh_2d(pr: int, pc: int, axes=("r", "c")) -> Mesh:
+    devs = jax.devices()
+    assert pr * pc <= len(devs)
+    return Mesh(np.array(devs[: pr * pc]).reshape(pr, pc), axes)
+
+
+class DistMatrix2D:
+    """2-D block-partitioned sparse matrix over an (r, c) mesh.
+
+    Device (i, j) owns block A[i*RB:(i+1)*RB, j*CB:(j+1)*CB] as a local CSR
+    with block-local column ids, nnz-padded to the max block.  SpMV:
+    x sharded along the c axis (replicated over r), local block SpMV, psum
+    over c — the standard 2-D SpMV that bounds per-device communication by
+    O(n/pr + n/pc) instead of O(n) (the scaling-book recipe for sparse)."""
+
+    def __init__(self, mesh, shape, indptr, indices, values, nnz, rb, cb):
+        self.mesh = mesh
+        self.shape = shape
+        self.indptr = indptr      # [pr, pc, rb+1]
+        self.indices = indices    # [pr, pc, cap]  (block-local cols)
+        self.values = values
+        self.nnz = nnz            # [pr, pc]
+        self.rb, self.cb = rb, cb
+
+    @classmethod
+    def from_matrix(cls, A: Matrix, mesh: Mesh) -> "DistMatrix2D":
+        pr, pc = mesh.devices.shape
+        S = A.to_format(SPARSE, ROW)
+        m, n = A.shape
+        rb = -(-m // pr)
+        cb = -(-n // pc)
+        ip = np.asarray(S.indptr)
+        ix = np.asarray(S.indices)
+        vl = np.asarray(S._vals_expanded())
+        rows = np.repeat(np.arange(m, dtype=np.int64), np.diff(ip))
+        bi = rows // rb
+        bj = ix // cb
+        order = np.argsort(bi * pc + bj, kind="stable")
+        counts = np.bincount((bi * pc + bj)[order], minlength=pr * pc)
+        cap = max(int(counts.max()), 1)
+        ipb = np.zeros((pr, pc, rb + 1), np.int32)
+        ixb = np.zeros((pr, pc, cap), np.int32)
+        vlb = np.zeros((pr, pc, cap), vl.dtype)
+        nzb = counts.reshape(pr, pc).astype(np.int32)
+        ro, io, vo = rows[order], ix[order], vl[order]
+        bo = (bi * pc + bj)[order]
+        starts = np.zeros(pr * pc + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        for i in range(pr):
+            for j in range(pc):
+                b = i * pc + j
+                s, e = starts[b], starts[b + 1]
+                lr = ro[s:e] - i * rb
+                lc = io[s:e] - j * cb
+                ixb[i, j, : e - s] = lc
+                vlb[i, j, : e - s] = vo[s:e]
+                ipb[i, j] = np.concatenate(
+                    [[0], np.cumsum(np.bincount(lr, minlength=rb))])
+        axr, axc = mesh.axis_names
+        sh = NamedSharding(mesh, P(axr, axc))
+        return cls(mesh, A.shape,
+                   jax.device_put(jnp.asarray(ipb), sh),
+                   jax.device_put(jnp.asarray(ixb), sh),
+                   jax.device_put(jnp.asarray(vlb), sh),
+                   jax.device_put(jnp.asarray(nzb), sh), rb, cb)
+
+
+def dist_mxv_2d(A: DistMatrix2D, x, sr: Semiring = SR.PLUS_TIMES,
+                out_dtype=None):
+    """y = A (+).(x) x over the 2-D partition: local block SpMV + add-monoid
+    reduction (psum/pmin/pmax) over the column axis of the mesh."""
+    zt = np.dtype(out_dtype) if out_dtype else np.asarray(x).dtype
+    axr, axc = A.mesh.axis_names
+    pr, pc = A.mesh.devices.shape
+    npadc = pc * A.cb
+    xp = jnp.pad(jnp.asarray(x), (0, npadc - A.shape[1]))
+    # x block per column group, replicated over rows
+    xs = jax.device_put(
+        jnp.broadcast_to(xp.reshape(1, pc, A.cb), (pr, pc, A.cb)),
+        NamedSharding(A.mesh, P(axr, axc)))
+    add_name = sr.add.op.name
+
+    @functools.partial(
+        shard_map, mesh=A.mesh,
+        in_specs=(P(axr, axc),) * 5, out_specs=P(axr, axc),
+        check_vma=False)
+    def step(ipb, ixb, vlb, nzb, xb):
+        y = _local_spmv(ipb[0, 0], ixb[0, 0], vlb[0, 0], nzb[0, 0],
+                        xb[0, 0], sr, zt)
+        full = _combine_axis(y, axc, add_name)          # reduce over cols
+        return full[None, None]
+
+    y = step(A.indptr, A.indices, A.values, A.nnz, xs)
+    # row i's result is replicated across the row's devices; take column 0
+    return np.asarray(y)[:, 0].reshape(-1)[: A.shape[0]]

@@ -167,3 +167,40 @@ def test_sharded_checkpoint_roundtrip(tmp_path, rng):
     y1 = np.asarray(par.dist_mxv(D, x))
     y2 = np.asarray(par.dist_mxv(D2, x))
     np.testing.assert_allclose(y1, y2)
+
+
+def test_dist_mxv_2d(rng):
+    import scipy.sparse as sps
+    import graphblas_tpu as gb
+    from graphblas_tpu import parallel as par
+
+    n = 100
+    S = sps.random(n, n, density=0.08, random_state=np.random.RandomState(4),
+                   format="csr", dtype=np.float64)
+    mesh = par.make_mesh_2d(2, 4)
+    D2 = par.DistMatrix2D.from_matrix(gb.Matrix.from_scipy(S), mesh)
+    x = rng.standard_normal(n)
+    got = par.dist_mxv_2d(D2, x)
+    np.testing.assert_allclose(got, S @ x, rtol=1e-12)
+
+
+def test_dist_mxv_2d_minplus(rng):
+    import scipy.sparse as sps
+    import graphblas_tpu as gb
+    from graphblas_tpu import parallel as par
+    from graphblas_tpu.core import semiring as SR
+
+    n = 60
+    S = sps.random(n, n, density=0.1, random_state=np.random.RandomState(8),
+                   format="csr", dtype=np.float64)
+    S.data = np.abs(S.data)
+    mesh = par.make_mesh_2d(4, 2)
+    D2 = par.DistMatrix2D.from_matrix(gb.Matrix.from_scipy(S), mesh)
+    x = np.abs(rng.standard_normal(n))
+    got = par.dist_mxv_2d(D2, x, SR.MIN_PLUS)
+    dense = S.toarray()
+    want = np.where((dense > 0).any(axis=1),
+                    np.where(dense > 0, dense + x[None, :], np.inf).min(axis=1),
+                    np.inf)
+    # rows with no entries reduce to +inf identity in both
+    np.testing.assert_allclose(got, want, rtol=1e-12)
