@@ -18,9 +18,20 @@ def _locate(A, i, j):
         vec, idx = i, j
     else:
         vec, idx = j, i
-    S = A.to_format(SPARSE) if A.fmt == HYPER else A
-    lo = int(S.indptr[vec])
-    hi = int(S.indptr[vec + 1])
+    if A.fmt == HYPER:
+        # hyper-hash analog (reference: GB_hyper_hash_lookup.h): direct
+        # lookup of vec in the hyperlist, no hyper->sparse conversion
+        hh = np.asarray(A.h)
+        p = int(np.searchsorted(hh, vec))
+        if p >= len(hh) or hh[p] != vec:
+            return False, 0
+        S = A
+        lo = int(S.indptr[p])
+        hi = int(S.indptr[p + 1])
+    else:
+        S = A
+        lo = int(S.indptr[vec])
+        hi = int(S.indptr[vec + 1])
     if lo == hi:
         return False, 0
     seg = np.asarray(S.indices[lo:hi])
