@@ -29,23 +29,31 @@ import numpy as np
 
 def _route_level(src):
     """One Benes level, batched.  src: (B, M) permutations (out = x[src]).
-    Returns (mask_in, mask_out, perm_upper, perm_lower)."""
+    Returns (mask_in, mask_out, perm_upper, perm_lower).
+
+    Inner loops use flat int32 indexing (2-4x faster than
+    take_along_axis for these shapes)."""
     B, M = src.shape
     h = M // 2
-    ar = np.arange(M)[None, :]
+    src = src.astype(np.int32, copy=False)
+    base = (np.arange(B, dtype=np.int32) * M)[:, None]
+    ar = np.arange(M, dtype=np.int32)[None, :]
+    srcf = src.ravel()
     inv = np.empty_like(src)
     np.put_along_axis(inv, src, np.broadcast_to(ar, (B, M)).copy(), 1)
     # same-color step: OUT edge (to the source feeding our output's pair)
     # then IN edge
-    q = np.take_along_axis(src, inv ^ h, 1)     # OUT partner (opposite color)
+    q = srcf[(inv ^ h) + base]                  # OUT partner (opposite color)
     nxt = q ^ h                                 # then IN partner (same color)
     # orbit representative via pointer doubling (min element of nxt-orbit)
     rep = np.broadcast_to(ar, (B, M)).copy()
-    jump = nxt
+    jump = nxt + base
     for _ in range(int(np.ceil(np.log2(max(M, 2)))) + 1):
-        rep = np.minimum(rep, np.take_along_axis(rep, jump, 1))
-        jump = np.take_along_axis(jump, jump, 1)
-    prep = np.take_along_axis(rep, q, 1)        # partner orbit's rep
+        repf = rep.ravel()
+        np.minimum(rep, repf[jump], out=rep)
+        jumpf = jump.ravel()
+        jump = jumpf[jump]
+    prep = rep.ravel()[q + base]                # partner orbit's rep
     color = (rep > prep).astype(np.int8)        # deterministic, consistent
     # stage-1 swap mask: input pair (i, i^h), i<h: upper half receives the
     # color-0 member, so swap iff color[i] == 1
@@ -54,7 +62,7 @@ def _route_level(src):
     # last-stage swap mask: output pair (j, j^h), j<h: the upper
     # subnetwork delivers (at sub-slot j) the member whose source is
     # color-0; swap iff out j's own source is color-1
-    srccolor = np.take_along_axis(color, src, 1)
+    srccolor = color.ravel()[src + base]
     swap_out = srccolor[:, :h] == 1
     mask_out = np.concatenate([swap_out, swap_out], axis=1)
     # sub-permutations: upper sub-net output slot j serves whichever of
@@ -69,21 +77,31 @@ def _route_level(src):
 
 def benes_route(perm):
     """(dists, masks) for a full Benes network.  perm: (B, M), M = 2^k.
-    Stage s swaps i <-> i^dists[s] where masks[s][b, i] (symmetric)."""
+    Stage s swaps i <-> i^dists[s] where masks[s][b, i] (symmetric).
+
+    Iterative: all 2^l same-size subproblems of recursion level l are
+    routed as ONE batched `_route_level` call, so total work is
+    O(B*M*log^2 M) numpy element-ops with log M passes per level."""
     B, M = perm.shape
     if M == 1:
         return [], []
-    if M == 2:
-        swap = perm[:, :1] == 1
-        return [1], [np.concatenate([swap, swap], 1)]
-    mi, mo, pu, pl = _route_level(perm)
-    dists_u, masks_u = benes_route(pu)
-    dists_l, masks_l = benes_route(pl)
-    dists = [M // 2] + dists_u + [M // 2]
-    masks = [mi]
-    for mu, ml in zip(masks_u, masks_l):
-        masks.append(np.concatenate([mu, ml], axis=1))
-    masks.append(mo)
+    front, back = [], []
+    cur = perm                       # (B * 2^l, M >> l)
+    size = M
+    while size > 2:
+        mi, mo, pu, pl = _route_level(cur)
+        front.append(mi.reshape(B, M))
+        back.append(mo.reshape(B, M))
+        # children interleaved so block order matches position order
+        nb, half = cur.shape[0], size // 2
+        cur = np.stack([pu, pl], axis=1).reshape(nb * 2, half)
+        size = half
+    # center: size-2 switches
+    swap = (cur[:, :1] == 1)
+    center = np.concatenate([swap, swap], 1).reshape(B, M)
+    masks = front + [center] + back[::-1]
+    half_dists = [M >> (l + 1) for l in range(len(front))]
+    dists = half_dists + [1] + half_dists[::-1]
     return dists, masks
 
 
