@@ -257,3 +257,198 @@ def tile_permute(x, plan, *, interpret=False):
     with jax.enable_x64(False):   # Mosaic cannot lower int64 index math
         return f(x, jnp.asarray(idx_in), jnp.asarray(bits),
                  jnp.asarray(idx_out))
+
+
+# ---------------------------------------------------------------------------
+# global (HBM-scale) static permutation: 2-phase bucket route
+# ---------------------------------------------------------------------------
+
+TILE_R = 2048           # rows per tile (x 128 lanes = 262144 elements);
+#                         large enough that 8-row slab alignment costs ~25%
+
+
+def _next_pow2(x):
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+class GlobalPermutePlan:
+    """Plan for out.flat = x.flat[perm] at HBM scale.
+
+    Phase 1 (grid over source tiles): Clos-permute each (TILE_R, 128)
+    source tile so elements destined for destination tile d occupy the
+    d-th rows_pp-row slab of the output block; slabs are uniformly padded
+    so ALL addressing is plain BlockSpec index maps (no ragged DMA).
+    Phase 2 (grid over destination tiles): gather the per-source slabs of
+    one destination (a strided 4-D block), Clos-permute to the exact
+    final order.  Per-element plan data: 2 x (int8 lane idx pair + int32
+    packed Benes masks) streamed alongside the values."""
+
+    __slots__ = ("T", "rows_pp", "R1", "R2", "npad",
+                 "ii1", "bits1", "io1", "ii2", "bits2", "io2", "dists1",
+                 "dists2")
+
+    def __init__(self, perm, n):
+        R = TILE_R
+        tile_elems = R * 128
+        T = -(-n // tile_elems)
+        npad = T * tile_elems
+        perm = np.asarray(perm, np.int64)
+        full = np.arange(npad, dtype=np.int64)
+        full[: perm.shape[0]] = perm
+        src = full                                # out[p] = x[src[p]]
+        dst = np.arange(npad, dtype=np.int64)
+        s_tile = src // tile_elems
+        d_tile = dst // tile_elems
+        counts = np.bincount(s_tile * T + d_tile, minlength=T * T)
+        rows_pp = max(-(-int(counts.max()) // 128), 1)
+        rows_pp = -(-rows_pp // 8) * 8            # sublane-aligned slabs
+        self.T, self.rows_pp = T, rows_pp
+        R1 = _next_pow2(max(R, T * rows_pp))
+        R2 = R1
+        self.R1, self.R2, self.npad = R1, R2, npad
+
+        # slot of each element within its (s,d) slab
+        order = np.argsort(s_tile * T + d_tile, kind="stable")
+        starts = np.zeros(T * T + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.empty(npad, np.int64)
+        slot[order] = np.arange(npad) - starts[(s_tile * T + d_tile)[order]]
+
+        # ---- phase-1 per-tile permutations (positions within R1 x 128) --
+        # input position of element e in its source tile:
+        p_in = src % tile_elems
+        # staging position: slab d, then slot
+        p_mid = d_tile * (rows_pp * 128) + slot
+        perm1 = np.empty((T, R1 * 128), np.int64)
+        perm1[:] = np.arange(R1 * 128)[None, :]   # dummies: identity base
+        # fill real routes, then bijectify the rest per tile
+        for t in range(T):
+            sel = s_tile == t
+            pp = np.full(R1 * 128, -1, np.int64)
+            pp[p_mid[sel]] = p_in[sel]
+            free_dst = np.flatnonzero(pp < 0)
+            used = np.zeros(R1 * 128, bool)
+            used[p_in[sel]] = True
+            free_src = np.flatnonzero(~used)
+            pp[free_dst] = free_src
+            perm1[t] = pp
+        self.ii1, self.dists1, self.bits1, self.io1 = _clos_batch(perm1, R1)
+
+        # ---- phase-2 per-tile permutations ------------------------------
+        # element e sits (for dst tile d) at concat position
+        #   s_tile(e) * rows_pp * 128 + slot(e)
+        p_cat = s_tile * (rows_pp * 128) + slot
+        p_out = dst % tile_elems
+        perm2 = np.empty((T, R2 * 128), np.int64)
+        for t in range(T):
+            sel = d_tile == t
+            pp = np.full(R2 * 128, -1, np.int64)
+            pp[p_out[sel]] = p_cat[sel]
+            free_dst = np.flatnonzero(pp < 0)
+            used = np.zeros(R2 * 128, bool)
+            used[p_cat[sel]] = True
+            free_src = np.flatnonzero(~used)
+            pp[free_dst] = free_src
+            perm2[t] = pp
+        self.ii2, self.dists2, self.bits2, self.io2 = _clos_batch(perm2, R2)
+
+
+def _clos_batch(perms, R):
+    """clos_route for a batch of tile permutations; returns stacked device
+    arrays (T*R, 128)."""
+    iis, bitss, ios = [], [], []
+    dists = None
+    for pp in perms:
+        ii, d, bt, io = clos_route(pp, R)
+        dists = d
+        iis.append(ii)
+        bitss.append(bt)
+        ios.append(io)
+    return (jnp.asarray(np.concatenate(iis, 0).astype(np.int8)),
+            tuple(int(x) for x in dists),
+            jnp.asarray(np.concatenate(bitss, 0)),
+            jnp.asarray(np.concatenate(ios, 0).astype(np.int8)))
+
+
+def _phase_kernel(x_ref, ii_ref, bits_ref, io_ref, y_ref, *, dists, R,
+                  rows_in, rows_out):
+    x = x_ref[:]
+    if rows_in < R:
+        x = jnp.concatenate(
+            [x, jnp.zeros((R - rows_in, 128), x.dtype)], axis=0)
+    x = jnp.take_along_axis(x, ii_ref[:].astype(jnp.int32), axis=1)
+    x = _benes_stages(x, bits_ref[:], dists, R)
+    x = jnp.take_along_axis(x, io_ref[:].astype(jnp.int32), axis=1)
+    y_ref[:] = x[:rows_out, :]
+
+
+def global_permute(x, plan: GlobalPermutePlan, *, interpret=False):
+    """out.flat[p] = x.flat[perm[p]] for an fp32 array of n elements,
+    executed as two Clos-permute passes with BlockSpec-only addressing."""
+    T, R1, R2 = plan.T, plan.R1, plan.R2
+    rows_pp = plan.rows_pp
+    n = x.shape[0]
+    xp = jnp.pad(x.reshape(-1), (0, plan.npad - n)).reshape(-1, 128)
+
+    k1 = functools.partial(_phase_kernel, dists=plan.dists1, R=R1,
+                           rows_in=TILE_R, rows_out=T * rows_pp)
+    stage = pl.pallas_call(
+        k1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((TILE_R, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R1, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R1, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R1, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T * rows_pp, 128), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T * T * rows_pp, 128), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    k2 = functools.partial(_phase_kernel, dists=plan.dists2, R=R2,
+                           rows_in=T * rows_pp, rows_out=TILE_R)
+
+    def k2_wrap(x_ref, ii_ref, bits_ref, io_ref, y_ref):
+        blk = x_ref[:]                           # (T, 1, rows_pp, 128)
+        flat = blk.reshape(T * rows_pp, 128)
+
+        class _R:                                # tiny shim: same protocol
+            def __getitem__(self, s):
+                return flat[s]
+        k2(_R(), ii_ref, bits_ref, io_ref, y_ref)
+
+    phase2 = pl.pallas_call(
+        k2_wrap,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((T, 1, rows_pp, 128), lambda t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R2, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R2, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R2, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_R, 128), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T * TILE_R, 128), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    with jax.enable_x64(False):
+        mid = stage(xp, plan.ii1, plan.bits1, plan.io1)
+        mid4 = mid.reshape(T, T, rows_pp, 128)
+        out = phase2(mid4, plan.ii2, plan.bits2, plan.io2)
+    return out.reshape(-1)[:n].reshape(x.shape)

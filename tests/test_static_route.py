@@ -62,3 +62,15 @@ def test_clos_route_identity_and_reverse(rng):
         out = np.asarray(SRT.tile_permute(jnp.asarray(x), plan,
                                           interpret=True))
         np.testing.assert_array_equal(out, x.reshape(-1)[perm].reshape(R, L))
+
+
+@pytest.mark.parametrize("tiles", [2, 4])
+def test_global_permute_interpret(rng, tiles):
+    from graphblas_tpu.kernels.static_route import (GlobalPermutePlan,
+                                                    global_permute, TILE_R)
+    n = tiles * TILE_R * 128 - 777        # non-tile-aligned
+    perm = rng.permutation(n)
+    plan = GlobalPermutePlan(perm, n)
+    x = rng.standard_normal(n).astype(np.float32)
+    out = np.asarray(global_permute(jnp.asarray(x), plan, interpret=True))
+    np.testing.assert_array_equal(out, x[perm])
