@@ -56,17 +56,25 @@ def _route_level(src):
     srcf = src.ravel()
     inv = np.empty_like(src)
     np.put_along_axis(inv, src, np.broadcast_to(ar, (B, M)).copy(), 1)
-    # same-color step: OUT edge then IN edge
+    # 2-color the union of the IN matching (i <-> i^h) and the OUT
+    # matching (i <-> source feeding the paired output)
     q = srcf[(inv ^ h) + base]
-    nxt = q ^ h
-    # orbit representative via pointer doubling (min element of nxt-orbit)
-    rep = np.broadcast_to(ar, (B, M)).copy()
-    jump = nxt + base
-    for _ in range(int(np.ceil(np.log2(max(M, 2)))) + 1):
-        np.minimum(rep, rep.ravel()[jump], out=rep)
-        jump = jump.ravel()[jump]
-    prep = rep.ravel()[q + base]
-    color = (rep > prep).astype(np.int8)
+    from ..utils import native as NV
+    flat_q = (q.astype(np.int64) + base).ravel()
+    flat_in = ((np.broadcast_to(ar, (B, M)) ^ h).astype(np.int64)
+               + base).ravel()
+    cn = NV.cycle_2color(flat_in, flat_q)
+    if cn is not None:
+        color = cn.reshape(B, M)
+    else:
+        nxt = q ^ h
+        rep = np.broadcast_to(ar, (B, M)).copy()
+        jump = nxt + base
+        for _ in range(int(np.ceil(np.log2(max(M, 2)))) + 1):
+            np.minimum(rep, rep.ravel()[jump], out=rep)
+            jump = jump.ravel()[jump]
+        prep = rep.ravel()[q + base]
+        color = (rep > prep).astype(np.int8)
     swap_in = color[:, :h] == 1
     mask_in = np.concatenate([swap_in, swap_in], axis=1)
     srccolor = color.ravel()[src + base]
@@ -118,87 +126,107 @@ def pack_masks(masks):
 # plan time: Clos routing for full (R, L) tile permutations
 # ---------------------------------------------------------------------------
 
-def _cycle_2color(pair_a, pair_b):
+def _cycle_2color(pair_a, pair_b, max_cycle=None):
     """2-color elements so paired elements (under either matching) get
     opposite colors.  pair_a/pair_b: (N,) int arrays (involutions).
-    Returns colors (N,) in {0, 1}.  Same orbit trick as Benes routing."""
+    Returns colors (N,) in {0, 1}.  Same orbit trick as Benes routing.
+    ``max_cycle`` bounds the doubling rounds (cycles never exceed the
+    subproblem size when keys encode independent subproblems)."""
+    from ..utils import native as NV
+    cn = NV.cycle_2color(pair_a, pair_b)
+    if cn is not None:                   # native O(n) cycle walk
+        return cn
     n = pair_a.shape[0]
     nxt = pair_b[pair_a]                 # same-color step
     rep = np.arange(n, dtype=np.int64)
     jump = nxt.astype(np.int64)
-    for _ in range(int(np.ceil(np.log2(max(n, 2)))) + 1):
-        np.minimum(rep, rep[jump], out=rep)
+    bound = max_cycle if max_cycle is not None else n
+    for _ in range(int(np.ceil(np.log2(max(bound, 2)))) + 1):
+        new = np.minimum(rep, rep[jump])
+        if np.array_equal(new, rep):
+            break
+        rep = new
         jump = jump[jump]
     prep = rep[pair_a]                   # partner (opposite-color) orbit
     return (rep > prep).astype(np.int8)
 
 
-def _euler_split(src_rows, dst_rows, R):
-    """Split an L-regular bipartite multigraph (edges e: src_rows[e] ->
-    dst_rows[e], L even) into two (L/2)-regular halves.  Returns a bool
-    array: True = edge assigned to the second half.
+def _euler_split(src_key, dst_key, max_cycle=None):
+    """Split a multigraph with even degree at every key into two halves
+    (True = second half), balanced per key on BOTH sides.  Keys may encode
+    (group, tile, row) so many independent subproblems split in one call.
 
-    Pair edges arbitrarily at each src vertex and at each dst vertex;
+    Pair edges arbitrarily at each src key and at each dst key;
     alternating colors along the resulting pairing cycles yields a
-    balanced split (each vertex keeps exactly half its edges per side)."""
-    E = src_rows.shape[0]
-    def pairing(rows):
-        order = np.argsort(rows, kind="stable")
+    balanced split (each key keeps exactly half its edges per side)."""
+    E = src_key.shape[0]
+    def pairing(keys):
+        order = np.argsort(keys, kind="stable")
         mate = np.empty(E, np.int64)
         o = order.reshape(-1, 2)
         mate[o[:, 0]] = o[:, 1]
         mate[o[:, 1]] = o[:, 0]
         return mate
-    return _cycle_2color(pairing(src_rows), pairing(dst_rows)).astype(bool)
+    return _cycle_2color(pairing(src_key), pairing(dst_key),
+                         max_cycle=max_cycle).astype(bool)
+
+
+def clos_route_batch(perms, R, L=128):
+    """Route a BATCH of (R, L)-tile permutations (perms: (T, R*L),
+    out.flat = x.flat[perm] per tile) onto 3-stage Clos networks:
+
+        stage 1: per-row lane gather   (idx_in:  (T*R, L) int32)
+        stage 2: per-lane sublane Benes (dists, packed mask bits (T*R, L))
+        stage 3: per-row lane gather   (idx_out: (T*R, L) int32)
+
+    All T tiles route in one vectorized pass per Euler level: the lane
+    assignment recursively Euler-splits the (src-row x dst-row) L-regular
+    multigraphs, with (group, tile) baked into the split keys so every
+    subproblem splits simultaneously (Hall/Birkhoff routing)."""
+    perms = np.asarray(perms, np.int64)
+    T, N = perms.shape
+    assert N == R * L
+    E = T * N
+    src_pos = perms.reshape(-1)
+    dst_pos = np.tile(np.arange(N, dtype=np.int64), T)
+    tile = np.repeat(np.arange(T, dtype=np.int64), N)
+    src_row = src_pos // L
+    dst_row = dst_pos // L
+    lane = np.zeros(E, np.int32)
+    group = np.zeros(E, np.int64)
+    width = L
+    while width > 1:
+        skey = (group * T + tile) * R + src_row
+        dkey = (group * T + tile) * R + dst_row
+        hi = _euler_split(skey, dkey, max_cycle=2 * width * R)
+        lane[hi] += width // 2
+        group = group * 2 + hi
+        width //= 2
+    # stage-1: element at (tile, src_row, src_lane) moves to lane[e]
+    idx_in = np.empty((T * R, L), np.int32)
+    idx_in[tile * R + src_row, lane] = (src_pos % L).astype(np.int32)
+    # stage-2: per (tile, lane): sublane permutation src_row -> dst_row
+    perm_mid = np.empty((T * L, R), np.int32)
+    perm_mid[tile * L + lane, dst_row] = src_row.astype(np.int32)
+    dists, masks = benes_route(perm_mid)
+    if masks:
+        bits_tl = pack_masks(masks)                  # (T*L, R)
+        bits = np.ascontiguousarray(
+            bits_tl.reshape(T, L, R).transpose(0, 2, 1)
+        ).reshape(T * R, L)
+    else:
+        bits = np.zeros((T * R, L), np.int32)
+    # stage-3: element now at (tile, dst_row, lane) -> its dst lane
+    idx_out = np.empty((T * R, L), np.int32)
+    idx_out[tile * R + dst_row, dst_pos % L] = lane
+    return idx_in, dists, bits, idx_out
 
 
 def clos_route(perm_flat, R, L=128):
-    """Route an arbitrary permutation of an (R, L) tile (row-major flat,
-    out.flat = x.flat[perm_flat]) onto:
-
-        stage 1: per-row lane gather   (idx_in:  (R, L) int32)
-        stage 2: per-lane sublane Benes (dists, packed mask bits (R, L))
-        stage 3: per-row lane gather   (idx_out: (R, L) int32)
-
-    Returns (idx_in, dists, bits, idx_out).  Requires L a power of two
-    and R even... (R power of two for the Benes stage).
-
-    Lane assignment: recursively Euler-split the (src-row x dst-row)
-    L-regular multigraph into single-matchings; matching k routes through
-    lane k (Hall/Birkhoff routing of a 3-stage Clos)."""
+    """Single-tile clos_route (see clos_route_batch)."""
     perm_flat = np.asarray(perm_flat, np.int64)
-    N = R * L
-    assert perm_flat.shape == (N,)
-    dst_pos = np.arange(N)
-    src_pos = perm_flat
-    src_row = src_pos // L
-    dst_row = dst_pos // L
-    # recursively split edges into L single matchings -> middle lane
-    lane = np.zeros(N, np.int32)
-    groups = [np.arange(N)]
-    width = L
-    while width > 1:
-        new_groups = []
-        for g in groups:
-            hi = _euler_split(src_row[g], dst_row[g], R)
-            lane[g[hi]] += width // 2
-            new_groups.append(g[~hi])
-            new_groups.append(g[hi])
-        groups = new_groups
-        width //= 2
-    # stage-1: element at (src_row, src_lane) must move to lane[e]
-    idx_in = np.empty((R, L), np.int32)     # idx_in[r, l] = source lane
-    idx_in[src_row, lane] = (src_pos % L).astype(np.int32)
-    # stage-2: per middle lane, sublane permutation src_row -> dst_row
-    perm_mid = np.empty((L, R), np.int32)   # (lane, dst_row) -> src_row
-    perm_mid[lane, dst_row] = src_row.astype(np.int32)
-    dists, masks = benes_route(perm_mid)    # batched over lanes
-    bits = pack_masks(masks).T.copy() if masks else np.zeros((R, L), np.int32)
-    # (masks are (L, R); executor wants (R, L))
-    # stage-3: element now at (dst_row, lane[e]) must reach its dst lane
-    idx_out = np.empty((R, L), np.int32)
-    idx_out[dst_row, dst_pos % L] = lane
-    return idx_in, dists, bits, idx_out
+    ii, dists, bits, io = clos_route_batch(perm_flat[None, :], R, L)
+    return ii, dists, bits, io
 
 
 # ---------------------------------------------------------------------------
@@ -322,19 +350,7 @@ class GlobalPermutePlan:
         p_in = src % tile_elems
         # staging position: slab d, then slot
         p_mid = d_tile * (rows_pp * 128) + slot
-        perm1 = np.empty((T, R1 * 128), np.int64)
-        perm1[:] = np.arange(R1 * 128)[None, :]   # dummies: identity base
-        # fill real routes, then bijectify the rest per tile
-        for t in range(T):
-            sel = s_tile == t
-            pp = np.full(R1 * 128, -1, np.int64)
-            pp[p_mid[sel]] = p_in[sel]
-            free_dst = np.flatnonzero(pp < 0)
-            used = np.zeros(R1 * 128, bool)
-            used[p_in[sel]] = True
-            free_src = np.flatnonzero(~used)
-            pp[free_dst] = free_src
-            perm1[t] = pp
+        perm1 = _bijectify(s_tile, p_mid, p_in, T, R1 * 128)
         self.ii1, self.dists1, self.bits1, self.io1 = _clos_batch(perm1, R1)
 
         # ---- phase-2 per-tile permutations ------------------------------
@@ -342,35 +358,30 @@ class GlobalPermutePlan:
         #   s_tile(e) * rows_pp * 128 + slot(e)
         p_cat = s_tile * (rows_pp * 128) + slot
         p_out = dst % tile_elems
-        perm2 = np.empty((T, R2 * 128), np.int64)
-        for t in range(T):
-            sel = d_tile == t
-            pp = np.full(R2 * 128, -1, np.int64)
-            pp[p_out[sel]] = p_cat[sel]
-            free_dst = np.flatnonzero(pp < 0)
-            used = np.zeros(R2 * 128, bool)
-            used[p_cat[sel]] = True
-            free_src = np.flatnonzero(~used)
-            pp[free_dst] = free_src
-            perm2[t] = pp
+        perm2 = _bijectify(d_tile, p_out, p_cat, T, R2 * 128)
         self.ii2, self.dists2, self.bits2, self.io2 = _clos_batch(perm2, R2)
 
 
+def _bijectify(tiles, dst_local, src_local, T, M):
+    """Per-tile partial map dst_local <- src_local completed to full
+    permutations (T, M): unused destinations are matched to unused sources
+    in order (per tile: both free lists are tile-sorted, and free counts
+    match per tile, so positional pairing aligns)."""
+    perm = np.full(T * M, -1, np.int64)
+    used = np.zeros(T * M, bool)
+    perm[tiles * M + dst_local] = src_local
+    used[tiles * M + src_local] = True
+    free_dst = np.flatnonzero(perm < 0)
+    free_src = np.flatnonzero(~used)
+    perm[free_dst] = free_src % M
+    return perm.reshape(T, M)
+
+
 def _clos_batch(perms, R):
-    """clos_route for a batch of tile permutations; returns stacked device
-    arrays (T*R, 128)."""
-    iis, bitss, ios = [], [], []
-    dists = None
-    for pp in perms:
-        ii, d, bt, io = clos_route(pp, R)
-        dists = d
-        iis.append(ii)
-        bitss.append(bt)
-        ios.append(io)
-    return (jnp.asarray(np.concatenate(iis, 0).astype(np.int8)),
-            tuple(int(x) for x in dists),
-            jnp.asarray(np.concatenate(bitss, 0)),
-            jnp.asarray(np.concatenate(ios, 0).astype(np.int8)))
+    """Batched clos routing; returns stacked device arrays (T*R, 128)."""
+    ii, dists, bits, io = clos_route_batch(perms, R)
+    return (jnp.asarray(ii.astype(np.int8)), tuple(int(x) for x in dists),
+            jnp.asarray(bits), jnp.asarray(io.astype(np.int8)))
 
 
 def _phase_kernel(x_ref, ii_ref, bits_ref, io_ref, y_ref, *, dists, R,

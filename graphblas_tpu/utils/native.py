@@ -50,6 +50,9 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.gbtpu_cycle_2color.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64]
         lib.gbtpu_mtx_read.restype = ctypes.c_int
         lib.gbtpu_mtx_read.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
@@ -174,3 +177,19 @@ def read_mtx(path: str):
         cols = np.concatenate([cols, rows[:n][off]])
         vals = np.concatenate([vals, sign * vals[off]])
     return rows, cols, vals, (nr.value, nc.value)
+
+
+def cycle_2color(pair_a: np.ndarray, pair_b: np.ndarray) -> np.ndarray:
+    """Native 2-coloring of union-of-involutions cycles (static_route
+    plan-time routing).  Returns int8 colors; None if the native lib is
+    unavailable (caller falls back to numpy pointer doubling)."""
+    lib = _load()
+    if lib is None:
+        return None
+    pa = np.ascontiguousarray(pair_a, np.int64)
+    pb = np.ascontiguousarray(pair_b, np.int64)
+    out = np.empty(pa.shape[0], np.int8)
+    lib.gbtpu_cycle_2color(_ptr(pa, ctypes.c_int64),
+                           _ptr(pb, ctypes.c_int64),
+                           _ptr(out, ctypes.c_int8), pa.shape[0])
+    return out

@@ -210,4 +210,27 @@ int gbtpu_mtx_read(const char* path, int32_t* rows, int32_t* cols,
   return 0;
 }
 
+// 2-color the cycles of the union of two involutions (pair_a, pair_b):
+// paired elements get opposite colors.  Sequential O(n) cycle walk — the
+// plan-time routing primitive of the static permutation engine
+// (graphblas_tpu/kernels/static_route.py); a vectorized numpy
+// pointer-doubling version exists but is ~100x slower on long cycles.
+void gbtpu_cycle_2color(const int64_t* pa, const int64_t* pb, int8_t* color,
+                        int64_t n) {
+  for (int64_t i = 0; i < n; ++i) color[i] = -1;
+  for (int64_t start = 0; start < n; ++start) {
+    if (color[start] >= 0) continue;
+    int64_t p = start;
+    int8_t c = 0;
+    // walk: alternate pair_a / pair_b edges, flipping color on each edge
+    while (color[p] < 0) {
+      color[p] = c;
+      int64_t q = pa[p];
+      if (color[q] < 0) color[q] = (int8_t)(1 - c);
+      p = pb[q];
+      // p is pb-partner of q: opposite of q -> same as original c
+    }
+  }
+}
+
 }  // extern "C"
