@@ -144,11 +144,14 @@ class SpmvRoutePlan:
         slots = TR * 128
         # rows per destination tile: uniform, 128-aligned, sized so every
         # tile's entries + sentinels fit its slot budget
+        N_src = (self.g.W * self.g.RB * 128)
         avg = (counts.mean() if m else 0.0) + 1.0
         YT_ROWS = max(int(slots / avg / 128 * 0.90) // 8 * 8, 8)
         while True:
             Y_T = YT_ROWS * 128
-            T = -(-m // Y_T)
+            # enough tiles for all rows AND for every gather slot (the
+            # route is a bijection: N_src <= N_dst must hold)
+            T = max(-(-m // Y_T), -(-N_src // slots))
             mpad = T * Y_T
             cpad = np.zeros(mpad, np.int64)
             cpad[:m] = counts
@@ -176,6 +179,7 @@ class SpmvRoutePlan:
         eid = gs.eid
         real = np.flatnonzero(eid >= 0)
         r_ids = eid[real]
+        assert N_src == gs.W * gs.RB * 128
         # order entries within a row arbitrarily: stable sort by row
         order = np.argsort(r_ids, kind="stable")
         within = np.empty(real.shape[0], np.int64)
@@ -184,7 +188,6 @@ class SpmvRoutePlan:
         within[order] = np.arange(real.shape[0]) - rstart[r_ids[order]]
         dst_slot = (tile_of_row[r_ids] * slots + row_off[r_ids] + within)
         # the permutation: dest -> source (bijectified by the route plan)
-        N_src = gs.W * gs.RB * 128
         assert N_src <= N_dst, (N_src, N_dst)
         perm = np.full(N_dst, -1, np.int64)
         perm[dst_slot] = real

@@ -112,6 +112,30 @@ def benes_route(perm):
     return dists, masks
 
 
+def benes_dists(M):
+    """Stage exchange distances for a Benes network on M = 2^k."""
+    if M == 1:
+        return []
+    if M == 2:
+        return [1]
+    log2M = int(np.log2(M))
+    half = [M >> (l + 1) for l in range(log2M - 1)]
+    return half + [1] + half[::-1]
+
+
+def benes_route_packed(perm):
+    """(dists, bits): like benes_route + pack_masks, but routed by the
+    native O(n) cycle-walk planner when available (~50x the numpy path)."""
+    from ..utils import native as NV
+    B, M = perm.shape
+    bits = NV.benes_route_bits(np.ascontiguousarray(perm))
+    if bits is None:
+        dists, masks = benes_route(perm)
+        return dists, (pack_masks(masks) if masks
+                       else np.zeros((B, M), np.int32))
+    return benes_dists(M), bits
+
+
 def pack_masks(masks):
     """Bit-pack per-stage masks into one int32 per element (<= 31 stages,
     i.e. M <= 2^16).  masks[s]: (B, M) -> bits: (B, M) int32."""
@@ -192,30 +216,28 @@ def clos_route_batch(perms, R, L=128):
     tile = np.repeat(np.arange(T, dtype=np.int64), N)
     src_row = src_pos // L
     dst_row = dst_pos // L
-    lane = np.zeros(E, np.int32)
-    group = np.zeros(E, np.int64)
-    width = L
-    while width > 1:
-        skey = (group * T + tile) * R + src_row
-        dkey = (group * T + tile) * R + dst_row
-        hi = _euler_split(skey, dkey, max_cycle=2 * width * R)
-        lane[hi] += width // 2
-        group = group * 2 + hi
-        width //= 2
+    from ..utils import native as NV
+    lane = NV.clos_lanes(src_row, dst_row, tile, R, L, T)
+    if lane is None:
+        lane = np.zeros(E, np.int32)
+        group = np.zeros(E, np.int64)
+        width = L
+        while width > 1:
+            skey = (group * T + tile) * R + src_row
+            dkey = (group * T + tile) * R + dst_row
+            hi = _euler_split(skey, dkey, max_cycle=2 * width * R)
+            lane[hi] += width // 2
+            group = group * 2 + hi
+            width //= 2
     # stage-1: element at (tile, src_row, src_lane) moves to lane[e]
     idx_in = np.empty((T * R, L), np.int32)
     idx_in[tile * R + src_row, lane] = (src_pos % L).astype(np.int32)
     # stage-2: per (tile, lane): sublane permutation src_row -> dst_row
     perm_mid = np.empty((T * L, R), np.int32)
     perm_mid[tile * L + lane, dst_row] = src_row.astype(np.int32)
-    dists, masks = benes_route(perm_mid)
-    if masks:
-        bits_tl = pack_masks(masks)                  # (T*L, R)
-        bits = np.ascontiguousarray(
-            bits_tl.reshape(T, L, R).transpose(0, 2, 1)
-        ).reshape(T * R, L)
-    else:
-        bits = np.zeros((T * R, L), np.int32)
+    dists, bits_tl = benes_route_packed(perm_mid)    # (T*L, R)
+    bits = np.ascontiguousarray(
+        bits_tl.reshape(T, L, R).transpose(0, 2, 1)).reshape(T * R, L)
     # stage-3: element now at (tile, dst_row, lane) -> its dst lane
     idx_out = np.empty((T * R, L), np.int32)
     idx_out[tile * R + dst_row, dst_pos % L] = lane

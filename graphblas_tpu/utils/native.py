@@ -50,6 +50,17 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.gbtpu_benes_route.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.gbtpu_clos_lanes.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8)]
         lib.gbtpu_cycle_2color.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int64]
@@ -193,3 +204,48 @@ def cycle_2color(pair_a: np.ndarray, pair_b: np.ndarray) -> np.ndarray:
                            _ptr(pb, ctypes.c_int64),
                            _ptr(out, ctypes.c_int8), pa.shape[0])
     return out
+
+def benes_route_bits(perm: np.ndarray) -> np.ndarray:
+    """Native Benes routing: perm (B, M) -> packed stage-mask bits (B, M)
+    int32.  None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "gbtpu_benes_route"):
+        return None
+    B, M = perm.shape
+    cur = np.ascontiguousarray(perm, np.int32).copy()
+    bits = np.empty((B, M), np.int32)
+    inv = np.empty(B * M, np.int32)
+    tmp = np.empty(B * M, np.int32)
+    lib.gbtpu_benes_route(_ptr(cur, ctypes.c_int32), B, M,
+                          _ptr(bits, ctypes.c_int32),
+                          _ptr(inv, ctypes.c_int32),
+                          _ptr(tmp, ctypes.c_int32))
+    return bits
+
+
+def clos_lanes(src_row, dst_row, tile, R: int, L: int, T: int):
+    """Native Clos lane assignment.  None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_clos_lanes"):
+        return None
+    E = src_row.shape[0]
+    sr = np.ascontiguousarray(src_row, np.int64)
+    dr = np.ascontiguousarray(dst_row, np.int64)
+    tl = np.ascontiguousarray(tile, np.int64)
+    lane = np.empty(E, np.int32)
+    mateA = np.empty(E, np.int64)
+    mateB = np.empty(E, np.int64)
+    order = np.empty(E, np.int64)
+    cnt = np.empty(E + 2, np.int64)
+    color = np.empty(E, np.int8)
+    lib.gbtpu_clos_lanes(_ptr(sr, ctypes.c_int64), _ptr(dr, ctypes.c_int64),
+                         _ptr(tl, ctypes.c_int64), E, R, L, T,
+                         _ptr(lane, ctypes.c_int32),
+                         _ptr(mateA, ctypes.c_int64),
+                         _ptr(mateB, ctypes.c_int64),
+                         _ptr(order, ctypes.c_int64),
+                         _ptr(cnt, ctypes.c_int64),
+                         _ptr(color, ctypes.c_int8))
+    return lane

@@ -20,6 +20,7 @@
 #include <cctype>
 #include <cstdint>
 #include <cstdio>
+#include <vector>
 #include <cstring>
 #include <vector>
 
@@ -230,6 +231,153 @@ void gbtpu_cycle_2color(const int64_t* pa, const int64_t* pb, int8_t* color,
       p = pb[q];
       // p is pb-partner of q: opposite of q -> same as original c
     }
+  }
+}
+
+// --- static-routing planners (graphblas_tpu/kernels/static_route.py) ---
+
+// Route a batch of permutations onto Benes networks.  perm: B rows of M
+// (out = x[perm] per row), M a power of two.  bits_out (B*M int32):
+// bit s of element (b, i) = swap mask of stage s (stages ordered
+// M/2, M/4, ..., 2, 1, 2, ..., M/2).  Scratch arrays are caller-provided
+// (each B*M int32): cur holds the evolving child permutations.
+void gbtpu_benes_route(int32_t* cur, int64_t B, int64_t M,
+                       int32_t* bits_out, int32_t* inv, int32_t* tmp) {
+  const int64_t total = B * M;
+  for (int64_t i = 0; i < total; ++i) bits_out[i] = 0;
+  int64_t nsub = B;          // subproblems (each contiguous, size `size`)
+  int64_t size = M;
+  int stage_front = 0;
+  int log2M = 0;
+  while ((1LL << log2M) < M) ++log2M;
+  int nstages = 2 * log2M - 1;
+  while (size > 2) {
+    const int64_t h = size / 2;
+    const int sb_front = stage_front;
+    const int sb_back = nstages - 1 - stage_front;
+    for (int64_t sidx = 0; sidx < nsub; ++sidx) {
+      int32_t* src = cur + sidx * size;
+      int32_t* vin = inv + sidx * size;
+      // inverse
+      for (int64_t i = 0; i < size; ++i) vin[src[i]] = (int32_t)i;
+      // 2-color: IN pairs (i, i^h), OUT pairs (i, src[vin[i]^h]).
+      // walk cycles with a small color array in tmp.
+      int8_t* color = (int8_t*)(tmp + sidx * size);
+      for (int64_t i = 0; i < size; ++i) color[i] = -1;
+      for (int64_t st = 0; st < size; ++st) {
+        if (color[st] >= 0) continue;
+        int64_t p = st;
+        while (color[p] < 0) {
+          color[p] = 0;
+          int64_t q = src[vin[p] ^ h];     // OUT partner: opposite
+          if (color[q] < 0) color[q] = 1;
+          p = q ^ h;                       // IN partner of q: same as p
+        }
+      }
+      // which global elements does this subproblem cover?
+      // position of local i in the ORIGINAL M-array: the recursion keeps
+      // contiguous blocks per (b, path), and masks concat in block order,
+      // matching the numpy implementation's reshape(B, M).
+      const int64_t gbase = sidx * size;
+      // stage masks
+      for (int64_t i = 0; i < h; ++i) {
+        int swap_in = (color[i] == 1);
+        if (swap_in) {
+          bits_out[gbase + i] |= (1 << sb_front);
+          bits_out[gbase + i + h] |= (1 << sb_front);
+        }
+        int swap_out = (color[src[i]] == 1);
+        if (swap_out) {
+          bits_out[gbase + i] |= (1 << sb_back);
+          bits_out[gbase + i + h] |= (1 << sb_back);
+        }
+      }
+      // child permutations into tmp (reuse as staging after colors read)
+      // up child at [0, h), lo child at [h, size)
+      int32_t* stage_buf = vin;  // reuse inv as staging for children
+      for (int64_t j = 0; j < h; ++j) {
+        int32_t s_lo = src[j], s_hi = src[j + h];
+        int swap_out = (color[s_lo] == 1);
+        int32_t up = swap_out ? s_hi : s_lo;
+        int32_t lo = swap_out ? s_lo : s_hi;
+        stage_buf[j] = up % h;
+        stage_buf[j + h] = lo % h;
+      }
+      for (int64_t j = 0; j < size; ++j) src[j] = stage_buf[j];
+    }
+    nsub *= 2;
+    size = h;
+    stage_front += 1;
+  }
+  // center stage (size == 2)
+  const int center = stage_front;
+  for (int64_t sidx = 0; sidx < nsub; ++sidx) {
+    int32_t* src = cur + sidx * 2;
+    if (src[0] == 1) {
+      bits_out[sidx * 2] |= (1 << center);
+      bits_out[sidx * 2 + 1] |= (1 << center);
+    }
+  }
+}
+
+// Clos lane assignment: recursively Euler-split the (src_row, dst_row)
+// L-regular bipartite multigraphs (T independent tiles of R rows each)
+// into single matchings.  lane_out[e] in [0, L).  Scratch: mateA/mateB/
+// order (E int64), color (E int8).
+void gbtpu_clos_lanes(const int64_t* src_row, const int64_t* dst_row,
+                      const int64_t* tile, int64_t E, int64_t R, int64_t L,
+                      int64_t T, int32_t* lane_out,
+                      int64_t* mateA, int64_t* mateB, int64_t* order,
+                      int64_t* cnt, int8_t* color) {
+  for (int64_t e = 0; e < E; ++e) lane_out[e] = 0;
+  // group code per edge grows with the recursion; fold into the key
+  std::vector<int32_t> group(E, 0);
+  int64_t width = L;
+  const int64_t nkey_base = T * R;
+  while (width > 1) {
+    const int64_t ngroups = L / width;   // groups processed this level
+    const int64_t nkeys = ngroups * nkey_base;
+    // counting sort by (group, tile, row) for both endpoints -> mates
+    for (int side = 0; side < 2; ++side) {
+      const int64_t* rows = side ? dst_row : src_row;
+      int64_t* mate = side ? mateB : mateA;
+      for (int64_t k = 0; k <= nkeys; ++k) cnt[k] = 0;
+      for (int64_t e = 0; e < E; ++e) {
+        int64_t key = ((int64_t)group[e] * T + tile[e]) * R + rows[e];
+        cnt[key + 1]++;
+      }
+      for (int64_t k = 0; k < nkeys; ++k) cnt[k + 1] += cnt[k];
+      for (int64_t e = 0; e < E; ++e) {
+        int64_t key = ((int64_t)group[e] * T + tile[e]) * R + rows[e];
+        order[cnt[key]++] = e;
+      }
+      for (int64_t i = 0; i < E; i += 2) {
+        mate[order[i]] = order[i + 1];
+        mate[order[i + 1]] = order[i];
+      }
+    }
+    // cycle 2-color over the union of the two matchings
+    for (int64_t e = 0; e < E; ++e) color[e] = -1;
+    for (int64_t st = 0; st < E; ++st) {
+      if (color[st] >= 0) continue;
+      int64_t p = st;
+      while (color[p] < 0) {
+        color[p] = 0;
+        int64_t q = mateA[p];
+        if (color[q] < 0) color[q] = 1;
+        p = mateB[q];
+      }
+    }
+    const int64_t half = width / 2;
+    for (int64_t e = 0; e < E; ++e) {
+      if (color[e]) {
+        lane_out[e] += (int32_t)half;
+        group[e] = group[e] * 2 + 1;
+      } else {
+        group[e] = group[e] * 2;
+      }
+    }
+    width = half;
   }
 }
 
