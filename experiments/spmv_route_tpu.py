@@ -29,7 +29,7 @@ err = np.abs(y - want).max() / np.abs(want).max()
 print(f"TPU relerr: {err:.2e}", flush=True)
 
 # rate: chained runs (y has length n == x: feed back)
-ITERS = 30
+ITERS = 10
 @jax.jit
 def chained(xj):
     def body(i, v):
