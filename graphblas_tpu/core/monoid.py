@@ -31,7 +31,8 @@ def _minident(dt):
         return dt.type(np.inf)
     if dt == np.bool_:
         return np.True_
-    return np.iinfo(dt).max
+    return dt.type(np.iinfo(dt).max)   # typed scalar: a bare python int
+    #                                    overflows jnp for uint64
 
 
 def _maxident(dt):
@@ -40,7 +41,7 @@ def _maxident(dt):
         return dt.type(-np.inf)
     if dt == np.bool_:
         return np.False_
-    return np.iinfo(dt).min
+    return dt.type(np.iinfo(dt).min)
 
 
 def _allbits(dt):

@@ -133,11 +133,15 @@ def _int_div(x, y):
     q = x // safe
     r = x - q * safe
     trunc = jnp.where((r != 0) & ((x < 0) != (safe < 0)), q + 1, q)
+    # typed scalars: bare python ints overflow jnp for uint64
+    imax = dt.type(info.max)
+    imin = dt.type(info.min)
+    zero = dt.type(0)
     if np.issubdtype(dt, np.signedinteger):
-        div0 = jnp.where(x == 0, 0,
-                         jnp.where(x > 0, info.max, info.min)).astype(dt)
+        div0 = jnp.where(x == 0, zero,
+                         jnp.where(x > 0, imax, imin)).astype(dt)
     else:
-        div0 = jnp.where(x == 0, 0, info.max).astype(dt)
+        div0 = jnp.where(x == 0, zero, imax).astype(dt)
     return jnp.where(y == 0, div0, trunc.astype(dt))
 
 

@@ -289,14 +289,16 @@ def _mxm_dense(A, B, sr, zt, relabel=_ident_relabel) -> Matrix:
 
 def _reduce_axis1(prod, add, zt):
     name = add.op.name
+    # sum/prod must pin the accumulator dtype: numpy/jnp promote sub-64-bit
+    # integers to 64-bit by default, breaking scan carry types
     if name == "GrB_PLUS":
-        return jnp.sum(prod, axis=1)
+        return jnp.sum(prod, axis=1, dtype=zt.np_dtype)
     if name == "GrB_MIN":
         return jnp.min(prod, axis=1)
     if name == "GrB_MAX":
         return jnp.max(prod, axis=1)
     if name == "GrB_TIMES":
-        return jnp.prod(prod, axis=1)
+        return jnp.prod(prod, axis=1, dtype=zt.np_dtype)
     if name == "GrB_LOR":
         return jnp.any(prod != 0, axis=1).astype(prod.dtype)
     if name == "GrB_LAND":

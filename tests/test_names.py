@@ -83,3 +83,56 @@ def test_typed_monoid_identity():
     mon = N.lookup("GxB_MIN_INT8_MONOID")
     assert mon.identity_for(np.int8) == np.iinfo(np.int8).max
     assert mon.declared_type is T.INT8
+
+
+def test_sampled_semirings_differential_mxm():
+    """Differential check: a deterministic sample of the 1553 predefined
+    semirings through mxm on small dense matrices vs a numpy oracle."""
+    import numpy.random as npr
+    rng = np.random.default_rng(3)
+    names = N.semiring_names()
+    sample = [names[i] for i in range(0, len(names), 97)]   # ~16 semirings
+    A = rng.integers(1, 5, (4, 3)).astype(np.float64)
+    B = rng.integers(1, 5, (3, 5)).astype(np.float64)
+
+    def oracle(sr, A, B, zt):
+        # computed IN the declared dtype (integer wraparound matches the
+        # kernel's semantics)
+        add = sr.add.op.fn
+        mult = sr.mult
+        out = np.empty((A.shape[0], B.shape[1]), zt)
+        for i in range(A.shape[0]):
+            for j in range(B.shape[1]):
+                acc = None
+                for k in range(A.shape[1]):
+                    if mult.positional:
+                        v = np.asarray({
+                            "firsti": i, "firsti1": i + 1, "firstj": k,
+                            "firstj1": k + 1, "secondi": k,
+                            "secondi1": k + 1, "secondj": j,
+                            "secondj1": j + 1}[mult.positional], zt)
+                    else:
+                        v = np.asarray(mult.fn(A[i, k], B[k, j]), zt)
+                    acc = v if acc is None else np.asarray(add(acc, v), zt)
+                out[i, j] = acc
+        return out
+
+    for name in sample:
+        sr = N.lookup(name)
+        ty = sr.declared_type
+        if ty.is_complex or ty.is_bool:
+            continue   # complex/bool oracle casting is covered elsewhere
+        if sr.add.op.name == "GxB_ANY":
+            continue   # ANY picks an arbitrary member by spec
+        zt = (np.int64 if sr.mult.positional
+              else sr.mult.out_type(ty, ty).np_dtype)
+        Ad = A.astype(ty.np_dtype)
+        Bd = B.astype(ty.np_dtype)
+        GA = gb.Matrix.from_dense(Ad)
+        GB_ = gb.Matrix.from_dense(Bd)
+        C = gb.mxm(GA, GB_, sr)
+        got = np.asarray(C.to_dense_pair()[0])
+        want = oracle(sr, Ad, Bd, zt)
+        np.testing.assert_allclose(
+            got.astype(np.float64), want.astype(np.float64), rtol=1e-6,
+            err_msg=name)
