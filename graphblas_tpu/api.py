@@ -140,3 +140,9 @@ def diag(v, k=0):
 def sort(A, op=None, *, ascending=True, desc=NULL):
     from .ops import sort as _sort
     return _sort.sort(A, op, ascending=ascending, desc=desc)
+
+
+def vector_diag(A, k=0):
+    """v = k-th diagonal of A (GxB_Vector_diag)."""
+    from .ops import diag as _dg
+    return _dg.vector_diag(A, k)

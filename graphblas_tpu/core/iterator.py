@@ -75,3 +75,24 @@ class RowIterator:
     def __iter__(self):
         for i in range(self.nrows):
             yield i, *self.row(i)
+
+
+class ColIterator:
+    """Iterate columns, then entries within a column (GxB_colIterator_*)."""
+
+    def __init__(self, A):
+        from .matrix import COL, SPARSE
+        S = A.to_format(SPARSE, COL)
+        self._indptr = np.asarray(S.indptr)
+        self._indices = np.asarray(S.indices)
+        self._values = np.asarray(S._vals_expanded())
+        self.ncols = A.ncols
+
+    def col(self, j: int):
+        """(row_indices, values) of column j."""
+        lo, hi = self._indptr[j], self._indptr[j + 1]
+        return self._indices[lo:hi], self._values[lo:hi]
+
+    def __iter__(self):
+        for j in range(self.ncols):
+            yield j, *self.col(j)

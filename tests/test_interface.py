@@ -146,3 +146,26 @@ def test_hyper_ops_roundtrip(rng):
     want = spec.spec_ewise_add(SpecMat.empty((50, 50), np.float64),
                                None, None, gb.operators.PLUS, sA, sB)
     assert_matches(got, want)
+
+
+def test_col_iterator_and_vector_diag(rng):
+    import scipy.sparse as sps
+    from graphblas_tpu.core.iterator import ColIterator
+
+    S = sps.random(10, 8, density=0.3, random_state=np.random.RandomState(2),
+                   format="csc")
+    A = gb.Matrix.from_scipy(sps.csr_matrix(S))
+    it = ColIterator(A)
+    dense = S.toarray()
+    for j, rows, vals in it:
+        got = np.zeros(10)
+        got[rows] = vals
+        np.testing.assert_allclose(got, dense[:, j])
+    # vector_diag
+    D = sps.random(8, 8, density=0.4, random_state=np.random.RandomState(3),
+                   format="csr")
+    v = gb.vector_diag(gb.Matrix.from_scipy(D), 0)
+    dv, dp = v.to_dense_1d()
+    want = np.diag(D.toarray())
+    np.testing.assert_allclose(np.where(np.asarray(dp), np.asarray(dv), 0),
+                               want)
