@@ -268,7 +268,11 @@ def _build_semiring(prefix: str, add: str, mult: str, tname: str,
                     full: str) -> Semiring:
     ty = TYPE_BY_SUFFIX[tname]
     mon = _MONOID_BY_NAME[add]
-    mop = _MULT_BY_NAME[mult]
+    # the multiply is the TYPED view: inputs typecast to the declared
+    # domain first (spec; the raw polymorphic op would compute in the
+    # operands' dtype — ADVICE r1).  The base name is kept so name-keyed
+    # kernel fast paths still match.
+    mop = _typed_binop(_MULT_BY_NAME[mult], tname, _MULT_BY_NAME[mult].name)
     return Semiring(dataclasses.replace(mon, declared_type=ty), mop,
                     name=full, declared_type=ty)
 

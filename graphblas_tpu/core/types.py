@@ -143,6 +143,14 @@ def cast(value, to: Type | Any):
     to = lookup(to)
     src = jnp.asarray(value)
     if to.is_struct:
+        # Reference: UDTs cast only to themselves (GB_casting.h) — reject
+        # sources that don't already carry the struct's field shape.
+        k = len(to.shape)
+        if src.ndim < k or tuple(src.shape[src.ndim - k:]) != to.shape:
+            from .errors import DomainMismatch
+            raise DomainMismatch(
+                f"cannot cast shape {src.shape} to struct type "
+                f"{to.name}{to.shape}")
         return src.astype(to.np_dtype)
     if src.dtype == to.np_dtype:
         return src

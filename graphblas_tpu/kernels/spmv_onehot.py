@@ -121,13 +121,19 @@ _plan_cache: dict = {}
 
 
 def plan_for(indptr, indices, values, shape) -> Plan:
+    # Strong references to the source arrays ride in the entry so their
+    # ids can never be recycled while the entry lives (a bare id() key
+    # could silently serve a stale plan to a new matrix reusing the same
+    # addresses); identity is re-checked on hit.
     key = (id(indptr), id(indices), id(values), shape)
-    p = _plan_cache.get(key)
-    if p is None:
-        if len(_plan_cache) > 8:
-            _plan_cache.clear()
-        p = Plan(indptr, indices, values, shape)
-        _plan_cache[key] = p
+    ent = _plan_cache.get(key)
+    if ent is not None and ent[0] is indptr and ent[1] is indices \
+            and ent[2] is values:
+        return ent[3]
+    if len(_plan_cache) > 8:
+        _plan_cache.clear()
+    p = Plan(indptr, indices, values, shape)
+    _plan_cache[key] = (indptr, indices, values, p)
     return p
 
 

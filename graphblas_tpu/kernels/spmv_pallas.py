@@ -72,13 +72,17 @@ _plan_cache: dict = {}
 
 
 def plan_for(indptr, indices, values, m) -> Plan:
-    key = (id(indptr), id(indices), m)
-    p = _plan_cache.get(key)
-    if p is None:
-        p = Plan(indptr, indices, values, m)
-        if len(_plan_cache) > 16:
-            _plan_cache.clear()
-        _plan_cache[key] = p
+    # See spmv_onehot.plan_for: strong refs pin the ids, identity
+    # re-checked on hit, so address reuse can't serve a stale plan.
+    key = (id(indptr), id(indices), id(values), m)
+    ent = _plan_cache.get(key)
+    if ent is not None and ent[0] is indptr and ent[1] is indices \
+            and ent[2] is values:
+        return ent[3]
+    if len(_plan_cache) > 16:
+        _plan_cache.clear()
+    p = Plan(indptr, indices, values, m)
+    _plan_cache[key] = (indptr, indices, values, p)
     return p
 
 

@@ -54,6 +54,14 @@ def _dense(a):
 def _ztype(sr: Semiring, A, B, out_dtype=None):
     if out_dtype is not None:
         return T.lookup(out_dtype)
+    # typed predefined semirings compute and output in their declared
+    # domain (comparator semirings still output the mult's bool ztype;
+    # typed positional semirings output the declared INT32/INT64)
+    dt = getattr(sr, "declared_type", None)
+    if dt is not None:
+        if sr.mult.positional:
+            return dt
+        return sr.mult.ztype or dt
     return sr.mult.out_type(A.dtype, B.dtype)
 
 
@@ -332,9 +340,12 @@ def _spmm(A: Matrix, B: Matrix, sr, zt, relabel=_ident_relabel) -> Matrix:
         else A
     # plus-times SpMV/SpMM fast path: the bucket-grid one-hot Pallas kernel
     # per dense column (the reference's C=S*F workload with narrow F)
+    # FP32 only: the Pallas kernels compute through bf16 hi/lo splits
+    # (~2^-16 rel err) — silently running FP64 through them would degrade
+    # the reference's full double precision (ADVICE r1).
     if (B.ncols <= 8 and B.fmt == FULL and sr.add.op.name == "GrB_PLUS"
             and sr.mult.name == "GrB_TIMES" and not sr.mult.positional
-            and zt.is_float and not zt.is_complex):
+            and zt.np_dtype == np.float32):
         CFG.burble("spmm: spmv fast path (%d col)", B.ncols)
         vals = cast(Ar._vals_expanded(), zt)
         bv = cast(B._vals_expanded(), zt)
@@ -384,7 +395,7 @@ def spmv_arrays(indptr, indices, values, x, m: int):
     profitable, else the XLA gather+segment-sum substrate."""
     from ..core import config as _cfg
     nnz = indices.shape[0]
-    if _cfg.GLOBAL.pallas_enabled:
+    if _cfg.GLOBAL.pallas_enabled and values.dtype == jnp.float32:
         try:
             from ..kernels import spmv_onehot
             if spmv_onehot.eligible(m, int(x.shape[0]), int(nnz)):

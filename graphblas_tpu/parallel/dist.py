@@ -452,22 +452,25 @@ def dist_mxm(A: "DistMatrix", B: "DistMatrix", sr: Semiring = SR.PLUS_TIMES,
         ucol = jnp.where(uvalid, ukey % n_out, 0).astype(jnp.int32)
         red = jnp.where(uvalid, red, ident)
         cnt = jnp.sum(uvalid.astype(jnp.int32))
-        out = jnp.stack([urow.astype(zt), ucol.astype(zt), red])
-        return (out[None], cnt[None, None],
-                jnp.zeros((1, 1), jnp.int32))
+        # indices ride in their own int32 array — never through the value
+        # dtype (bool/int8 values would corrupt them, fp32 loses precision
+        # past 2^24)
+        idx = jnp.stack([urow, ucol])
+        return (red[None], idx[None], cnt[None, None])
 
-    outs, cnts, _ = step(A.indptr, A.indices, A.values, A.nnz,
-                         B.indptr, B.indices, B.values, B.nnz)
+    vsh, ish, cnts = step(A.indptr, A.indices, A.values, A.nnz,
+                          B.indptr, B.indices, B.values, B.nnz)
     # assemble a host Matrix then re-partition (correctness tier; a fused
     # device-resident pipeline is the perf tier, planned)
-    outs = np.asarray(outs)
+    vsh = np.asarray(vsh)
+    ish = np.asarray(ish)
     cnts = np.asarray(cnts).reshape(-1)
     rows, cols, vals = [], [], []
     for d in range(ndev):
         c = int(cnts[d])
-        rows.append(outs[d, 0, :c].astype(np.int64) + d * A.rows_per)
-        cols.append(outs[d, 1, :c].astype(np.int64))
-        vals.append(outs[d, 2, :c].astype(zt))
+        rows.append(ish[d, 0, :c].astype(np.int64) + d * A.rows_per)
+        cols.append(ish[d, 1, :c].astype(np.int64))
+        vals.append(vsh[d, :c].astype(zt))
     rows = np.concatenate(rows)
     cols = np.concatenate(cols)
     vals = np.concatenate(vals)
