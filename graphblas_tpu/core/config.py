@@ -54,6 +54,8 @@ def init(mode: str = "nonblocking", compilation_cache_dir: str | None = None
     survive process restarts."""
     GLOBAL.initialized = True
     GLOBAL.blocking = (mode == "blocking")
+    from ..utils import hostmem
+    hostmem.tune()
     if os.environ.get("GB_BURBLE"):
         GLOBAL.burble = True
     if compilation_cache_dir:

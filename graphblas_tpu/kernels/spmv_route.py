@@ -41,65 +41,83 @@ WIN = 16384           # x window (128 sublanes x 128 lanes after transpose)
 
 
 class GatherPlan:
-    """Stage-A packing: entries CSC-windowed and residue-interleaved."""
+    """Stage-A packing: entries CSC-windowed and residue-interleaved.
 
-    __slots__ = ("hi", "val", "W", "RB", "n", "nnz", "eid")
+    ``RB`` is the capacity rows per window (max entries in one (window,
+    residue) class, 128-rounded).  ``RBL >= RB`` is the LAYOUT rows per
+    window: the route plan passes a larger value so the packed blocks
+    spread uniformly over the route domain — real sources then land
+    evenly across source tiles, which is what lets the balanced filler
+    level every (src-tile, dst-tile) bucket to the minimum slab height."""
 
-    def __init__(self, indptr, indices, values, shape):
+    __slots__ = ("hi", "val", "W", "RB", "RBL", "n", "nnz", "pos", "_tmp")
+
+    def __init__(self, indptr, indices, values, shape, defer=False):
+        from ..utils import native as NV
         m, n = shape
-        ip = np.asarray(indptr)
         ci = np.asarray(indices).astype(np.int64)
         vv = np.asarray(values).astype(np.float32)
         nnz = ci.shape[0]
-        ri = np.repeat(np.arange(m, dtype=np.int64), np.diff(ip))
         W = -(-n // WIN)
         w = ci // WIN
         res = ci & 127
         hi = (ci >> 7) & 127
         # rows cycle through residues: entry with residue r in window w
-        # goes to packed row w*RB + (k*128 + r) for its k-th slot
-        order = np.argsort(w * 128 + res, kind="stable")
-        counts = np.bincount((w * 128 + res)[order], minlength=W * 128)
+        # goes to packed row w*RBL + (k*128 + r) for its k-th slot
+        key = w * 128 + res
+        slot, counts = NV.rank_by_key(key, W * 128)
+        slot = slot.astype(np.int64)
         kmax = int(counts.max()) if nnz else 1
-        RB = (-(-kmax // 128)) * 128        # rows per window (mult of 128)
-        starts = np.zeros(W * 128 + 1, np.int64)
-        np.cumsum(counts, out=starts[1:])
-        slot = np.empty(nnz, np.int64)
-        slot[order] = np.arange(nnz) - starts[(w * 128 + res)[order]]
-        # packed position: window-block row = (slot//128)*128 + res,
-        # lane = slot % 128
-        prow = w * RB + (slot // 128) * 128 + res
-        plane = slot % 128
-        pos = prow * 128 + plane
-        hi_arr = np.zeros(W * RB * 128, np.int8)
-        val_arr = np.zeros(W * RB * 128, np.float32)
-        hi_arr[pos] = hi.astype(np.int8)
-        val_arr[pos] = vv
-        # identity of the product at each packed position (row id), -1=pad
-        eid = np.full(W * RB * 128, -1, np.int64)
-        eid[pos] = ri
-        self.hi = jnp.asarray(hi_arr.reshape(W * RB, 128))
-        self.val = jnp.asarray(val_arr.reshape(W * RB, 128))
+        RB = (-(-kmax // 128)) * 128        # capacity rows (mult of 128)
         self.W, self.RB = W, RB
         self.n, self.nnz = n, nnz
-        self.eid = eid                      # host-side, for the route plan
+        self._tmp = (w, res, hi, slot, vv, key, counts)
+        if not defer:
+            self.finalize()
+
+    def finalize(self, rows_layout=None):
+        w, res, hi, slot, vv, key, counts = self._tmp
+        RBL = int(rows_layout) if rows_layout else self.RB
+        assert RBL >= self.RB and RBL % 128 == 0
+        W = self.W
+        # spread each (window, residue) class's occupied 128-row bands
+        # evenly over the layout block, with a per-class hashed rotation:
+        # floor(j*Q/P) is injective for Q >= P and rotation mod Q keeps it
+        # so, while decorrelating the band patterns of different classes —
+        # real entries then land uniformly across the route's source tiles
+        Q = RBL // 128
+        P = np.maximum(-(-counts[key] // 128), 1)       # bands per class
+        base = (key * np.int64(2654435761)) % Q
+        band = (base + (slot // 128) * Q // P) % Q
+        prow = w * RBL + band * 128 + res
+        plane = slot % 128
+        pos = prow * 128 + plane
+        hi_arr = np.zeros(W * RBL * 128, np.int8)
+        val_arr = np.zeros(W * RBL * 128, np.float32)
+        hi_arr[pos] = hi.astype(np.int8)
+        val_arr[pos] = vv
+        self.hi = jnp.asarray(hi_arr.reshape(W * RBL, 128))
+        self.val = jnp.asarray(val_arr.reshape(W * RBL, 128))
+        self.RBL = RBL
+        self.pos = pos                      # host-side, for the route plan
+        self._tmp = None
 
     @property
     def padded_frac(self):
-        return self.W * self.RB * 128 / max(1, self.nnz)
+        return self.W * self.RBL * 128 / max(1, self.nnz)
 
 
 def _gather_kernel(xt_ref, hi_ref, val_ref, out_ref, *, RB):
     # xt block: (128, 128) = window x transposed (row = residue)
     xt = xt_ref[:]
-    tab = jnp.tile(xt, (RB // 128, 1))          # row s -> residue s%128
+    tab = jnp.tile(xt, (-(-RB // 128), 1))[:RB]  # row s -> residue s%128
     g = jnp.take_along_axis(tab, hi_ref[:].astype(jnp.int32), axis=1)
     out_ref[:] = g * val_ref[:]
 
 
 def gather_products(x, plan: GatherPlan, *, interpret=False):
-    """prods (W*RB, 128) f32: product values in packed gather order."""
-    W, RB = plan.W, plan.RB
+    """prods (W*RBL, 128) f32: product values in packed gather order."""
+    W, RB = plan.W, plan.RBL
     npad = W * WIN
     xp = jnp.pad(x.astype(jnp.float32), (0, npad - x.shape[0]))
     # window-transposed x: row = residue (col & 127), lane = col >> 7
@@ -129,29 +147,92 @@ def gather_products(x, plan: GatherPlan, *, interpret=False):
 # stages B+C: route products to CSR order; fused cumsum reduce
 # ---------------------------------------------------------------------------
 
+def _next_pow2(x):
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _fill_balanced(perm, used, T, slots):
+    """Pair free destinations with free sources so every (src-tile,
+    dst-tile) bucket levels out: the route's slab height rows_pp is driven
+    by the max bucket count, so leveled fillers keep the Clos domain at
+    its minimum (R1 == TILE_R) instead of the ~2x a random pairing costs.
+    The pairing solves a tiny transportation problem on the T x T bucket
+    grid (greedy water-filling with per-bucket capacity)."""
+    from ..utils import native as NV
+    free_dst = np.flatnonzero(perm < 0)
+    free_src = np.flatnonzero(~used)[: free_dst.shape[0]]
+    real_dst = np.flatnonzero(perm >= 0)
+    real = np.bincount((perm[real_dst] // slots) * T + real_dst // slots,
+                       minlength=T * T).reshape(T, T)
+    S = np.bincount(free_src // slots, minlength=T)     # supply per s
+    D = np.bincount(free_dst // slots, minlength=T)     # demand per d
+    def _ru8_rows(elems):
+        rows = -(-int(elems) // 128)
+        return -(-rows // 8) * 8
+    cap_rows = max(8, _ru8_rows(-(-slots // T)), _ru8_rows(int(real.max())))
+    ok = False
+    for _ in range(4):
+        cap = cap_rows * 128
+        fill = np.zeros((T, T), np.int64)
+        srem = S.astype(np.int64).copy()
+        ok = True
+        # most-constrained demand first, drawing from the largest
+        # remaining supplies — preserves scarce supplies for later tiles
+        for d in np.argsort(-D, kind="stable"):
+            srt = np.argsort(-srem, kind="stable")
+            avail = np.minimum(srem[srt],
+                               np.maximum(cap - real[srt, d], 0))
+            take = np.diff(np.minimum(np.cumsum(avail), D[d]), prepend=0)
+            fill[srt, d] = take
+            srem[srt] -= take
+            if take.sum() != D[d]:
+                ok = False
+                break
+        if ok:
+            break
+        cap_rows += 8
+    if not ok:
+        # give up on leveling: random pairing (correct, just more padding)
+        perm[free_dst] = np.random.default_rng(0x5eed).permutation(free_src)
+        return perm
+    # hand each free source (s-major order) a destination tile per quota,
+    # then stable-sort by that tile to align with free_dst (d-major order)
+    d_assign = np.repeat(np.tile(np.arange(T, dtype=np.int32), T),
+                         fill.reshape(-1))
+    order = NV.sort_by_key_i32(d_assign, T)
+    perm[free_dst] = free_src[order]
+    return perm
+
+
 class SpmvRoutePlan:
     """Full engine plan for one CSR matrix (cached per matrix)."""
 
-    __slots__ = ("g", "gp", "selii", "selbits", "selio", "seldists",
+    __slots__ = ("g", "gp", "sel_lidx", "sel_bitsU", "sel_bitsD",
                  "T", "YT_ROWS", "m", "n")
 
     def __init__(self, indptr, indices, values, shape):
         m, n = shape
         self.m, self.n = m, n
-        self.g = GatherPlan(indptr, indices, values, shape)
-        counts = np.diff(np.asarray(indptr)).astype(np.int64)
+        self.g = GatherPlan(indptr, indices, values, shape, defer=True)
+        ip = np.asarray(indptr).astype(np.int64)
+        counts = np.diff(ip)
         TR = SRT.TILE_R
         slots = TR * 128
         # rows per destination tile: uniform, 128-aligned, sized so every
         # tile's entries + sentinels fit its slot budget
-        N_src = (self.g.W * self.g.RB * 128)
+        N_cap = (self.g.W * self.g.RB * 128)
         avg = (counts.mean() if m else 0.0) + 1.0
         YT_ROWS = max(int(slots / avg / 128 * 0.90) // 8 * 8, 8)
         while True:
             Y_T = YT_ROWS * 128
             # enough tiles for all rows AND for every gather slot (the
-            # route is a bijection: N_src <= N_dst must hold)
-            T = max(-(-m // Y_T), -(-N_src // slots))
+            # route is a bijection: N_src <= N_dst must hold); T rounds up
+            # to a power of two so leveled buckets hit rows_pp*T == TILE_R
+            # exactly (keeping the Clos route domain at its minimum)
+            T = _next_pow2(max(-(-m // Y_T), -(-N_cap // slots)))
             mpad = T * Y_T
             cpad = np.zeros(mpad, np.int64)
             cpad[:m] = counts
@@ -159,12 +240,28 @@ class SpmvRoutePlan:
             if per_tile.max() <= slots or YT_ROWS == 8:
                 break
             YT_ROWS -= 8
+        # spread both sides uniformly over the T route tiles so the real
+        # (src-tile, dst-tile) buckets stay near nnz/T^2 and fillers can
+        # level them at the minimum slab height:
+        #   src: pad each gather window block to RB_lay rows;
+        #   dst: shrink rows-per-tile toward ceil(m / T).
+        RB_lay = max(self.g.RB, ((T * TR) // self.g.W) // 128 * 128)
+        self.g.finalize(RB_lay)
+        rows_per_tile = -(-m // T)
+        spread_rows = -(-rows_per_tile // 128)
+        spread = max(8, -(-spread_rows // 8) * 8)
+        if spread < YT_ROWS:
+            YT_ROWS = spread
+            Y_T = YT_ROWS * 128
+            mpad = T * Y_T
+            cpad = np.zeros(mpad, np.int64)
+            cpad[:m] = counts
+            per_tile = (cpad + 1).reshape(T, Y_T).sum(axis=1)
+            assert per_tile.max() <= slots
         self.T, self.YT_ROWS = T, YT_ROWS
         N_dst = T * slots
         # destination slot of every product: rows in order, one sentinel
         # slot after each row, rows never straddle tiles
-        row_of = np.repeat(np.arange(mpad, dtype=np.int64),
-                           (cpad + 1))                      # incl sentinel
         tile_of_row = np.arange(mpad) // Y_T
         # slot offsets: restart at each tile boundary
         width = cpad + 1
@@ -174,52 +271,30 @@ class SpmvRoutePlan:
         tile_base_cum = cum[tile_first_row]                 # per row
         row_off = cum[:mpad] - tile_base_cum                # within tile
         # per-entry destination (entries of row i at off..off+c-1; sentinel
-        # at off + c)
+        # at off + c).  CSR input is row-major, so the within-row rank is
+        # just position minus the row start — no sort needed.
         gs = self.g
-        eid = gs.eid
-        real = np.flatnonzero(eid >= 0)
-        r_ids = eid[real]
-        assert N_src == gs.W * gs.RB * 128
-        # order entries within a row arbitrarily: stable sort by row
-        order = np.argsort(r_ids, kind="stable")
-        within = np.empty(real.shape[0], np.int64)
-        rstart = np.zeros(mpad + 1, np.int64)
-        np.cumsum(np.bincount(r_ids, minlength=mpad), out=rstart[1:])
-        within[order] = np.arange(real.shape[0]) - rstart[r_ids[order]]
-        dst_slot = (tile_of_row[r_ids] * slots + row_off[r_ids] + within)
-        # the permutation: dest -> source (bijectified by the route plan)
+        N_src = gs.W * gs.RBL * 128
+        ri = np.repeat(np.arange(m, dtype=np.int64), counts)
+        within = np.arange(gs.nnz, dtype=np.int64) - np.repeat(
+            ip[:-1], counts)
+        dst_slot = (tile_of_row[ri] * slots + row_off[ri] + within)
+        # the permutation: dest -> source, leveled fillers
         assert N_src <= N_dst, (N_src, N_dst)
         perm = np.full(N_dst, -1, np.int64)
-        perm[dst_slot] = real
-        # fill remaining dests with remaining sources (all zero-valued).
-        # Shuffle the pairing: a monotone filler map concentrates into few
-        # (src-tile, dst-tile) buckets and blows up the route's slab size.
+        perm[dst_slot] = gs.pos
         used = np.zeros(N_dst, bool)
-        used[real] = True
-        free_dst = np.flatnonzero(perm < 0)
-        free_src = np.flatnonzero(~used)[: free_dst.shape[0]]
-        perm[free_dst] = np.random.default_rng(0x5eed).permutation(free_src)
+        used[gs.pos] = True
+        perm = _fill_balanced(perm, used, T, slots)
         self.gp = SRT.GlobalPermutePlan(perm, N_dst)
-        # selection permute per dest tile: position p (< Y_T) pulls the
-        # sentinel slot of tile-row p (cumsum through that row)
-        sent_slot = row_off + cpad                           # within tile
-        sel = np.empty((T, slots), np.int64)
-        base = np.arange(slots, dtype=np.int64)
-        for t in range(T):
-            pp = np.full(slots, -1, np.int64)
-            rows_t = np.arange(t * Y_T, (t + 1) * Y_T)
-            pp[: Y_T] = sent_slot[rows_t]
-            usedt = np.zeros(slots, bool)
-            usedt[sent_slot[rows_t]] = True
-            fd = np.flatnonzero(pp < 0)
-            fs = np.flatnonzero(~usedt)
-            pp[fd] = fs
-            sel[t] = pp
-        ii, dists, bits, io = SRT.clos_route_batch(sel, TR)
-        self.selii = jnp.asarray(ii.astype(np.int8))
-        self.selbits = jnp.asarray(bits)
-        self.selio = jnp.asarray(io.astype(np.int8))
-        self.seldists = tuple(int(d) for d in dists)
+        # selection pack per dest tile: the sentinel slot of tile-row p
+        # (the cumsum through that row) is delivered to raster position p
+        # by a monotone concentrator — plan is pure rank arithmetic
+        sent_slot = (row_off + cpad).reshape(T, Y_T)         # within tile
+        lidx, bitsU, bitsD = SRT.monotone_pack_plan(sent_slot, TR)
+        self.sel_lidx = jnp.asarray(lidx)
+        self.sel_bitsU = jnp.asarray(bitsU)
+        self.sel_bitsD = jnp.asarray(bitsD)
 
 
 def _raster_cumsum(x):
@@ -244,8 +319,8 @@ def _raster_cumsum(x):
 
 
 def _phase2ext_kernel(x_ref, ii_ref, bits_ref, io_ref,
-                      sii_ref, sbits_ref, sio_ref, y_ref,
-                      *, dists, seldists, R, rows_in, YT_ROWS):
+                      slidx_ref, sbU_ref, sbD_ref, y_ref,
+                      *, dists, R, rows_in, YT_ROWS):
     x = x_ref[:].reshape(rows_in, 128)
     if rows_in < R:
         x = jnp.concatenate(
@@ -255,11 +330,11 @@ def _phase2ext_kernel(x_ref, ii_ref, bits_ref, io_ref,
     x = SRT._benes_stages(x, bits_ref[:], dists, R)
     x = jnp.take_along_axis(x, io_ref[:].astype(jnp.int32), axis=1)
     tile = x[: SRT.TILE_R, :]
-    # fused reduce: raster cumsum, select row-end slots, difference
+    # fused reduce: raster cumsum, pack row-end slots to the front block
+    # (lane placement gather + monotone concentrator), difference
     cs = _raster_cumsum(tile)
-    cs = jnp.take_along_axis(cs, sii_ref[:].astype(jnp.int32), axis=1)
-    cs = SRT._benes_stages(cs, sbits_ref[:], seldists, SRT.TILE_R)
-    cs = jnp.take_along_axis(cs, sio_ref[:].astype(jnp.int32), axis=1)
+    cs = jnp.take_along_axis(cs, slidx_ref[:].astype(jnp.int32), axis=1)
+    cs = SRT._pack_stages(cs, sbU_ref[:], sbD_ref[:], SRT.TILE_R)
     sel = cs[:YT_ROWS, :]
     a = pltpu.roll(sel, 1, 1)
     b = pltpu.roll(a, 1, 0)
@@ -305,8 +380,7 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=False):
         interpret=interpret,
         compiler_params=cp,
     )
-    k2 = functools.partial(_phase2ext_kernel, dists=gp.dists2,
-                           seldists=plan.seldists, R=R2,
+    k2 = functools.partial(_phase2ext_kernel, dists=gp.dists2, R=R2,
                            rows_in=T2 * rows_pp, YT_ROWS=plan.YT_ROWS)
     phase2 = pl.pallas_call(
         k2,
@@ -338,5 +412,5 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=False):
         mid = phase1(xp, gp.ii1, gp.bits1, gp.io1)
         mid4 = mid.reshape(T2, T2, rows_pp, 128)
         y = phase2(mid4, gp.ii2, gp.bits2, gp.io2,
-                   plan.selii, plan.selbits, plan.selio)
+                   plan.sel_lidx, plan.sel_bitsU, plan.sel_bitsD)
     return y.reshape(-1)[: plan.m]

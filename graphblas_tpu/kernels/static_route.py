@@ -252,6 +252,76 @@ def clos_route(perm_flat, R, L=128):
 
 
 # ---------------------------------------------------------------------------
+# plan time: monotone packing (concentrator) — no cycle walking needed
+# ---------------------------------------------------------------------------
+
+def monotone_pack_plan(marked, R, L=128):
+    """Plan a 2-step monotone compaction on (R, L) tiles: the k-th marked
+    element of tile t (raster positions ``marked[t]``, SORTED, at most L per
+    sublane) is delivered to raster position k.
+
+        step a: one per-sublane lane gather places each marked value at its
+                destination LANE (take_along_axis, plan = lidx int8);
+        step b: log2(R) sublane-shift stages move it to its destination
+                SUBLANE via LSB-first bit-correction — monotone routes are
+                non-blocking on the ascending butterfly, so masks follow
+                from pure rank arithmetic (no Euler/Benes cycle walks).
+
+    Returns (lidx int8 (T*R, L), bitsU int32, bitsD int32) where bit b of
+    bitsU/bitsD marks positions receiving from below/above at stage 2^b.
+    Raises ValueError if a collision is detected (caller falls back to a
+    full Clos route; cannot happen for sorted inputs per the lemma)."""
+    marked = np.asarray(marked, np.int64)
+    T, K = marked.shape
+    nb = int(np.log2(R))
+    assert (1 << nb) == R
+    tt = np.repeat(np.arange(T, dtype=np.int64), K)
+    mm = marked.reshape(-1)
+    s_of = mm >> 7
+    j = np.tile(np.arange(K, dtype=np.int64), T)
+    dest_lane = j & 127
+    dest_sub = j >> 7
+    lidx = np.zeros((T * R, L), np.int8)
+    lidx[tt * R + s_of, dest_lane] = (mm & 127).astype(np.int8)
+    bitsU = np.zeros((T * R, L), np.int32)
+    bitsD = np.zeros((T * R, L), np.int32)
+    q = s_of.copy()
+    for b in range(nb):
+        d = 1 << b
+        delta = ((dest_sub >> b) & 1) - ((q >> b) & 1)
+        newq = q + delta * d
+        key = (tt * R + newq) * L + dest_lane
+        if len(np.unique(key)) != T * K:
+            raise ValueError("monotone_pack_plan: collision")
+        up = delta < 0
+        dn = delta > 0
+        bitsU[tt[up] * R + newq[up], dest_lane[up]] |= np.int32(1 << b)
+        bitsD[tt[dn] * R + newq[dn], dest_lane[dn]] |= np.int32(1 << b)
+        stay = delta == 0
+        if ((bitsU[tt[stay] * R + q[stay], dest_lane[stay]] >> b) & 1).any() \
+           or ((bitsD[tt[stay] * R + q[stay], dest_lane[stay]] >> b)
+               & 1).any():
+            raise ValueError("monotone_pack_plan: stayer clobbered")
+        q = newq
+    if not np.array_equal(q, dest_sub):
+        raise ValueError("monotone_pack_plan: did not converge")
+    return lidx, bitsU, bitsD
+
+
+def _pack_stages(x, bitsU, bitsD, R):
+    """Executor for monotone_pack_plan step b (use inside Pallas kernels)."""
+    nb = int(np.log2(R))
+    for b in range(nb):
+        d = 1 << b
+        fromdn = pltpu.roll(x, R - d, 0)          # x[i] <- x[i + d]
+        fromup = pltpu.roll(x, d, 0)              # x[i] <- x[i - d]
+        mU = ((bitsU >> b) & 1) == 1
+        mD = ((bitsD >> b) & 1) == 1
+        x = jnp.where(mU, fromdn, jnp.where(mD, fromup, x))
+    return x
+
+
+# ---------------------------------------------------------------------------
 # executors
 # ---------------------------------------------------------------------------
 
@@ -349,10 +419,13 @@ class GlobalPermutePlan:
         full = np.arange(npad, dtype=np.int64)
         full[: perm.shape[0]] = perm
         src = full                                # out[p] = x[src[p]]
-        dst = np.arange(npad, dtype=np.int64)
         s_tile = src // tile_elems
-        d_tile = dst // tile_elems
-        counts = np.bincount(s_tile * T + d_tile, minlength=T * T)
+        d_tile = np.repeat(np.arange(T, dtype=np.int64), tile_elems)
+        key = s_tile * T + d_tile
+        from ..utils import native as NV
+        # slot of each element within its (s,d) slab (stable rank)
+        slot, counts = NV.rank_by_key(key, T * T)
+        slot = slot.astype(np.int64)
         rows_pp = max(-(-int(counts.max()) // 128), 1)
         rows_pp = -(-rows_pp // 8) * 8            # sublane-aligned slabs
         self.T, self.rows_pp = T, rows_pp
@@ -360,28 +433,45 @@ class GlobalPermutePlan:
         R2 = R1
         self.R1, self.R2, self.npad = R1, R2, npad
 
-        # slot of each element within its (s,d) slab
-        order = np.argsort(s_tile * T + d_tile, kind="stable")
-        starts = np.zeros(T * T + 1, np.int64)
-        np.cumsum(counts, out=starts[1:])
-        slot = np.empty(npad, np.int64)
-        slot[order] = np.arange(npad) - starts[(s_tile * T + d_tile)[order]]
-
         # ---- phase-1 per-tile permutations (positions within R1 x 128) --
         # input position of element e in its source tile:
         p_in = src % tile_elems
         # staging position: slab d, then slot
         p_mid = d_tile * (rows_pp * 128) + slot
-        perm1 = _bijectify(s_tile, p_mid, p_in, T, R1 * 128)
-        self.ii1, self.dists1, self.bits1, self.io1 = _clos_batch(perm1, R1)
-
-        # ---- phase-2 per-tile permutations ------------------------------
-        # element e sits (for dst tile d) at concat position
+        # ---- phase-2: element e sits (for dst tile d) at concat position
         #   s_tile(e) * rows_pp * 128 + slot(e)
         p_cat = s_tile * (rows_pp * 128) + slot
-        p_out = dst % tile_elems
-        perm2 = _bijectify(d_tile, p_out, p_cat, T, R2 * 128)
-        self.ii2, self.dists2, self.bits2, self.io2 = _clos_batch(perm2, R2)
+        p_out = np.tile(np.arange(tile_elems, dtype=np.int64), T)
+
+        if NV.available():
+            # native whole-tile router: partial perms (-1 = free dst)
+            # completed and routed per tile in one cache-local C++ pass
+            M1 = R1 * 128
+            perm1 = np.full(T * M1, -1, np.int32)
+            perm1[s_tile * M1 + p_mid] = p_in.astype(np.int32)
+            res = NV.clos_route_tiles(perm1.reshape(T, M1), R1)
+        else:
+            res = None
+        if res is not None:
+            ii, bits, io = res
+            self.ii1 = jnp.asarray(ii)
+            self.dists1 = tuple(int(d) for d in benes_dists(R1))
+            self.bits1 = jnp.asarray(bits)
+            self.io1 = jnp.asarray(io)
+            perm2 = np.full(T * M1, -1, np.int32)
+            perm2[d_tile * M1 + p_out] = p_cat.astype(np.int32)
+            ii, bits, io = NV.clos_route_tiles(perm2.reshape(T, M1), R2)
+            self.ii2 = jnp.asarray(ii)
+            self.dists2 = self.dists1
+            self.bits2 = jnp.asarray(bits)
+            self.io2 = jnp.asarray(io)
+        else:
+            perm1 = _bijectify(s_tile, p_mid, p_in, T, R1 * 128)
+            (self.ii1, self.dists1, self.bits1,
+             self.io1) = _clos_batch(perm1, R1)
+            perm2 = _bijectify(d_tile, p_out, p_cat, T, R2 * 128)
+            (self.ii2, self.dists2, self.bits2,
+             self.io2) = _clos_batch(perm2, R2)
 
 
 def _bijectify(tiles, dst_local, src_local, T, M):

@@ -25,6 +25,8 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    from . import hostmem
+    hostmem.tune()
     try:
         if not _LIB_PATH.exists():
             subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
@@ -64,6 +66,17 @@ def _load():
         lib.gbtpu_cycle_2color.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int8), ctypes.c_int64]
+        lib.gbtpu_rank_by_key.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
+        lib.gbtpu_sort_by_key_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.gbtpu_clos_route_tiles.restype = ctypes.c_int
+        lib.gbtpu_clos_route_tiles.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8)]
         lib.gbtpu_mtx_read.restype = ctypes.c_int
         lib.gbtpu_mtx_read.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
@@ -223,6 +236,64 @@ def benes_route_bits(perm: np.ndarray) -> np.ndarray:
                           _ptr(inv, ctypes.c_int32),
                           _ptr(tmp, ctypes.c_int32))
     return bits
+
+
+def rank_by_key(keys: np.ndarray, nkeys: int):
+    """Stable rank of each element within its key group + counts per key.
+    Returns (rank int32, counts int64); falls back to numpy argsort when
+    the native library is unavailable."""
+    keys = np.ascontiguousarray(keys, np.int64)
+    n = keys.shape[0]
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_rank_by_key"):
+        counts = np.bincount(keys, minlength=nkeys).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        starts = np.zeros(nkeys + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        rank = np.empty(n, np.int32)
+        rank[order] = (np.arange(n) - starts[keys[order]]).astype(np.int32)
+        return rank, counts
+    rank = np.empty(n, np.int32)
+    counts = np.empty(nkeys, np.int64)
+    lib.gbtpu_rank_by_key(_ptr(keys, ctypes.c_int64), n, nkeys,
+                          _ptr(rank, ctypes.c_int32),
+                          _ptr(counts, ctypes.c_int64))
+    return rank, counts
+
+
+def sort_by_key_i32(keys: np.ndarray, nkeys: int) -> np.ndarray:
+    """Stable counting argsort for bounded non-negative int32 keys."""
+    keys = np.ascontiguousarray(keys, np.int32)
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_sort_by_key_i32"):
+        return np.argsort(keys, kind="stable")
+    order = np.empty(keys.shape[0], np.int64)
+    lib.gbtpu_sort_by_key_i32(_ptr(keys, ctypes.c_int32), keys.shape[0],
+                              nkeys, _ptr(order, ctypes.c_int64))
+    return order
+
+
+def clos_route_tiles(perm: np.ndarray, R: int):
+    """Native whole-tile Clos routing: perm (T, R*128) int32 with -1 for
+    free destinations (completed internally).  Returns
+    (idx_in int8 (T*R,128), bits int32 (T*R,128), idx_out int8 (T*R,128))
+    or None when the native library is unavailable (caller falls back to
+    the numpy pipeline).  NOTE: perm is modified in place (completed)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_clos_route_tiles"):
+        return None
+    T, N = perm.shape
+    assert N == R * 128 and perm.dtype == np.int32
+    assert perm.flags.c_contiguous
+    idx_in = np.empty((T * R, 128), np.int8)
+    bits = np.empty((T * R, 128), np.int32)
+    idx_out = np.empty((T * R, 128), np.int8)
+    rc = lib.gbtpu_clos_route_tiles(
+        _ptr(perm, ctypes.c_int32), T, R, _ptr(idx_in, ctypes.c_int8),
+        _ptr(bits, ctypes.c_int32), _ptr(idx_out, ctypes.c_int8))
+    if rc != 0:
+        return None
+    return idx_in, bits, idx_out
 
 
 def clos_lanes(src_row, dst_row, tile, R: int, L: int, T: int):

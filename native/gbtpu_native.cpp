@@ -381,4 +381,224 @@ void gbtpu_clos_lanes(const int64_t* src_row, const int64_t* dst_row,
   }
 }
 
+// Stable rank of each element within its key group, plus per-key counts.
+// Replaces argsort-based ranking for bounded integer keys: O(n + nkeys).
+void gbtpu_rank_by_key(const int64_t* keys, int64_t n, int64_t nkeys,
+                       int32_t* rank, int64_t* counts) {
+  for (int64_t k = 0; k < nkeys; ++k) counts[k] = 0;
+  for (int64_t i = 0; i < n; ++i) counts[keys[i]]++;
+  std::vector<int64_t> seen(nkeys, 0);
+  for (int64_t i = 0; i < n; ++i) rank[i] = (int32_t)(seen[keys[i]]++);
+}
+
+// Like gbtpu_rank_by_key but with int32 keys and a stable order output
+// (order[j] = index of the j-th element in key-sorted order).
+void gbtpu_sort_by_key_i32(const int32_t* keys, int64_t n, int64_t nkeys,
+                           int64_t* order) {
+  std::vector<int64_t> cnt(nkeys + 1, 0);
+  for (int64_t i = 0; i < n; ++i) cnt[keys[i] + 1]++;
+  for (int64_t k = 0; k < nkeys; ++k) cnt[k + 1] += cnt[k];
+  for (int64_t i = 0; i < n; ++i) order[cnt[keys[i]]++] = i;
+}
+
+// ---------------------------------------------------------------------------
+// clos_route_tiles: the whole per-tile Clos route in one cache-local pass
+// ---------------------------------------------------------------------------
+//
+// Routes T independent (R, 128)-tile permutations (out.flat = x.flat[perm]
+// per tile) onto 3-stage Clos networks, producing the on-chip executor's
+// plan arrays directly:
+//   idx_in  (T*R, 128) int8  — stage-1 per-row lane gather indices
+//   bits    (T*R, 128) int32 — stage-2 packed sublane-Benes masks
+//   idx_out (T*R, 128) int8  — stage-3 per-row lane gather indices
+// perm entries may be -1 (unassigned destination); each tile is completed
+// to a full permutation by pairing free destinations with unused sources
+// in order.  R must be a power of two (Benes), R <= 32768.
+//
+// This replaces the former pipeline (global numpy scatters + single
+// flat-keyed native passes) whose working set thrashed cache; here every
+// level's counting sorts, cycle walks and scatters touch only one tile's
+// ~6 MB of scratch.
+// Benes-route L independent columns of M = R sublanes each (int16 domain,
+// cache-tight): cur (L, R) int16 permutations, bits_out (L, R) int32.
+static void benes_columns_i16(int16_t* cur, int64_t L, int64_t R,
+                              int32_t* bits_out, int16_t* inv,
+                              int16_t* child, int8_t* color) {
+  int log2R = 0;
+  while ((1LL << log2R) < R) ++log2R;
+  const int nstages = 2 * log2R - 1;
+  std::memset(bits_out, 0, (size_t)L * R * 4);
+  for (int64_t c = 0; c < L; ++c) {
+    int16_t* base = cur + c * R;
+    int32_t* bcol = bits_out + c * R;
+    int64_t nsub = 1, size = R;
+    int sf = 0;
+    while (size > 2) {
+      const int64_t h = size / 2;
+      const int sb = nstages - 1 - sf;
+      for (int64_t s = 0; s < nsub; ++s) {
+        int16_t* src = base + s * size;
+        const int64_t gb = s * size;
+        for (int64_t i = 0; i < size; ++i) inv[src[i]] = (int16_t)i;
+        std::memset(color, -1, size);
+        for (int64_t st = 0; st < size; ++st) {
+          if (color[st] >= 0) continue;
+          int64_t p0 = st;
+          while (color[p0] < 0) {
+            color[p0] = 0;
+            int64_t q = src[inv[p0] ^ h];
+            if (color[q] < 0) color[q] = 1;
+            p0 = q ^ h;
+          }
+        }
+        for (int64_t i = 0; i < h; ++i) {
+          int32_t b = 0;
+          if (color[i] == 1) b |= (1 << sf);
+          const int16_t s_lo = src[i], s_hi = src[i + h];
+          const int swap_out = (color[s_lo] == 1);
+          if (swap_out) b |= (1 << sb);
+          bcol[gb + i] |= b;
+          bcol[gb + i + h] |= b;
+          child[i] = (int16_t)((swap_out ? s_hi : s_lo) % h);
+          child[i + h] = (int16_t)((swap_out ? s_lo : s_hi) % h);
+        }
+        std::memcpy(src, child, (size_t)size * 2);
+      }
+      nsub *= 2;
+      size = h;
+      ++sf;
+    }
+    for (int64_t s = 0; s < nsub; ++s)
+      if (base[s * 2] == 1) {
+        bcol[s * 2] |= (1 << sf);
+        bcol[s * 2 + 1] |= (1 << sf);
+      }
+  }
+}
+
+int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
+                           int8_t* idx_in, int32_t* bits, int8_t* idx_out) {
+  const int64_t L = 128;
+  const int64_t N = R * L;
+  if (R < 8 || (R & (R - 1)) || R > 32768) return -1;
+
+  // ping-pong edge arrays: p = source position, dst = destination position.
+  // Edges are kept PHYSICALLY partitioned by Euler group, so every level's
+  // sorts, walks and partitions run on halved, increasingly cache-resident
+  // blocks, and the final block index IS the lane assignment.
+  std::vector<int32_t> pA(N), pB(N), dA(N), dB(N);
+  std::vector<int32_t> order(N), mateA(N), mateB(N);
+  std::vector<int8_t> color(N);
+  std::vector<int32_t> cnt(R + 1);
+  std::vector<uint8_t> used(N);
+  std::vector<int16_t> cur16(N), inv16(R), child16(R);
+  std::vector<int8_t> col8(R);
+  std::vector<int32_t> bits_loc(N);
+
+  for (int64_t t = 0; t < T; ++t) {
+    int32_t* p0 = perm + t * N;
+    // -- complete the partial permutation (free dst <- unused src, in order)
+    std::memset(used.data(), 0, N);
+    for (int64_t e = 0; e < N; ++e)
+      if (p0[e] >= 0) used[p0[e]] = 1;
+    int64_t nxt = 0;
+    for (int64_t e = 0; e < N; ++e) {
+      if (p0[e] < 0) {
+        while (used[nxt]) ++nxt;
+        p0[e] = (int32_t)nxt;
+        used[nxt] = 1;
+      }
+    }
+    std::memcpy(pA.data(), p0, (size_t)N * 4);
+    for (int64_t e = 0; e < N; ++e) dA[e] = (int32_t)e;
+
+    // -- recursive Euler split with physical partitioning
+    int32_t* pc = pA.data();
+    int32_t* dc = dA.data();
+    int32_t* pn = pB.data();
+    int32_t* dn = dB.data();
+    int64_t width = L;          // current block width (edges per block / R)
+    int64_t bsz = N;            // current block size
+    while (width > 1) {
+      const int64_t nblk = N / bsz;
+      for (int64_t b = 0; b < nblk; ++b) {
+        const int64_t off = b * bsz;
+        const int32_t* pb = pc + off;
+        const int32_t* db = dc + off;
+        // pair at equal src rows / dst rows (counting sort per side)
+        for (int side = 0; side < 2; ++side) {
+          const int32_t* pos = side ? db : pb;
+          int32_t* mate = side ? mateB.data() : mateA.data();
+          std::memset(cnt.data(), 0, (size_t)(R + 1) * 4);
+          for (int64_t e = 0; e < bsz; ++e) cnt[(pos[e] >> 7) + 1]++;
+          for (int64_t k = 0; k < R; ++k) cnt[k + 1] += cnt[k];
+          for (int64_t e = 0; e < bsz; ++e)
+            order[cnt[pos[e] >> 7]++] = (int32_t)e;
+          for (int64_t i = 0; i < bsz; i += 2) {
+            mate[order[i]] = order[i + 1];
+            mate[order[i + 1]] = order[i];
+          }
+        }
+        // 2-color alternating Euler cycles
+        std::memset(color.data(), -1, bsz);
+        for (int64_t st = 0; st < bsz; ++st) {
+          if (color[st] >= 0) continue;
+          int64_t q0 = st;
+          while (color[q0] < 0) {
+            color[q0] = 0;
+            int64_t q = mateA[q0];
+            if (color[q] < 0) color[q] = 1;
+            q0 = mateB[q];
+          }
+        }
+        // stable partition into the two child blocks
+        int64_t lo = off, hi = off + bsz / 2;
+        for (int64_t e = 0; e < bsz; ++e) {
+          if (color[e]) {
+            pn[hi] = pb[e];
+            dn[hi] = db[e];
+            ++hi;
+          } else {
+            pn[lo] = pb[e];
+            dn[lo] = db[e];
+            ++lo;
+          }
+        }
+      }
+      std::swap(pc, pn);
+      std::swap(dc, dn);
+      width /= 2;
+      bsz /= 2;
+    }
+    // edges now lane-major: block l (size R) = edges assigned lane l
+    int8_t* ii = idx_in + t * N;
+    int8_t* io = idx_out + t * N;
+    for (int64_t l = 0; l < L; ++l) {
+      const int32_t* pb = pc + l * R;
+      const int32_t* db = dc + l * R;
+      int16_t* cb = cur16.data() + l * R;
+      for (int64_t e = 0; e < R; ++e) {
+        const int32_t sp = pb[e], dp = db[e];
+        ii[(int64_t)(sp >> 7 << 7) + l] = (int8_t)(sp & 127);
+        cb[dp >> 7] = (int16_t)(sp >> 7);
+        io[(int64_t)(dp >> 7 << 7) + (dp & 127)] = (int8_t)l;
+      }
+    }
+    benes_columns_i16(cur16.data(), L, R, bits_loc.data(), inv16.data(),
+                      child16.data(), col8.data());
+    // bits_loc is (lane, R); executor wants (R, lane) — blocked transpose
+    int32_t* bt = bits + t * N;
+    const int64_t BS = 64;
+    for (int64_t r0 = 0; r0 < R; r0 += BS)
+      for (int64_t l0 = 0; l0 < L; l0 += BS) {
+        const int64_t r1 = r0 + BS < R ? r0 + BS : R;
+        const int64_t l1 = l0 + BS < L ? l0 + BS : L;
+        for (int64_t l = l0; l < l1; ++l)
+          for (int64_t r = r0; r < r1; ++r)
+            bt[(r << 7) + l] = bits_loc[l * R + r];
+      }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -27,19 +27,12 @@ def test_gather_products_matches_expansion(rng):
     prods = np.asarray(SPR.gather_products(jnp.asarray(x), plan,
                                            interpret=True)).reshape(-1)
     # every real product must equal val * x[col] at its packed position
-    rows = np.repeat(np.arange(m), np.diff(S.indptr))
-    want = (S.data * x[S.indices]).astype(np.float32)
-    got_by_eid = {}
-    eid = plan.eid
-    real = eid >= 0
-    # reconstruct per-entry: positions are unique per entry
-    # (row id may repeat; compare multisets per row)
-    ys = np.zeros(m, np.float64)
-    np.add.at(ys, eid[real], prods[real].astype(np.float64))
-    want_y = np.zeros(m, np.float64)
-    np.add.at(want_y, rows, want.astype(np.float64))
-    np.testing.assert_allclose(ys, want_y, rtol=1e-5, atol=1e-5)
+    # exactly (the gather is a lane selection, not an approximation)
+    want = (S.data.astype(np.float32) * x[S.indices]).astype(np.float32)
+    np.testing.assert_array_equal(prods[plan.pos], want)
     # padding carries exact zeros
+    real = np.zeros(prods.shape[0], bool)
+    real[plan.pos] = True
     assert (prods[~real] == 0).all()
 
 
