@@ -25,6 +25,35 @@ from ..core.descriptor import Descriptor
 from ..core.matrix import BITMAP, COL, FULL, ROW, SPARSE, Matrix, Vector
 from ..kernels import segment as K
 
+# pattern-SpMV route plans per adjacency structure (values replaced by 1.0
+# so the plus-times engine computes the pattern semirings exactly: lor-land
+# frontier expansion is sum>0, PageRank contributions are sums of w[i])
+_pattern_plans: dict = {}
+
+
+def _pattern_route_plan(At: Matrix, build: bool):
+    """Route plan for y = A'x on the pattern of A (At = A in CSC = A' in
+    CSR).  Cached per structure with identity re-checks."""
+    from ..core import config as _cfg
+    from ..kernels import spmv_route as SPRT
+    if not _cfg.GLOBAL.pallas_enabled:
+        return None
+    key = (id(At.indptr), id(At.indices), At.shape)
+    ent = _pattern_plans.get(key)
+    if ent is not None and ent[0] is At.indptr and ent[1] is At.indices:
+        return ent[2]
+    if not build:
+        return None
+    ip = np.asarray(At.indptr)
+    ix = np.asarray(At.indices)
+    n_out, n_in = At.shape[1], At.shape[0]
+    plan = SPRT.SpmvRoutePlan(ip, ix, np.ones(ix.shape[0], np.float32),
+                              (n_out, n_in))
+    if len(_pattern_plans) > 4:
+        _pattern_plans.clear()
+    _pattern_plans[key] = (At.indptr, At.indices, plan)
+    return plan
+
 
 # ---------------------------------------------------------------------------
 # BFS
@@ -111,9 +140,37 @@ def _bfs_fused_kernel(indptr, indices, source, n):
     return levels
 
 
-def bfs_levels_fused(A: Matrix, source: int):
+def bfs_levels_fused(A: Matrix, source: int, optimize=False):
     """One compiled while_loop; dense bool frontier (iso-bool frontier
-    analog — SURVEY.md §7 'BFS frontiers are iso-bool')."""
+    analog — SURVEY.md §7 'BFS frontiers are iso-bool').  With a routing
+    plan (``optimize=True`` or already cached) the frontier expansion is
+    the static-routing SpMV: nxt = (A' f) > 0 — exact for lor-land since
+    a positive fp32 sum can never round to zero."""
+    At = A.to_format(SPARSE, COL)
+    plan = _pattern_route_plan(At, build=optimize)
+    if plan is not None:
+        from ..kernels import spmv_route as SPRT
+
+        @jax.jit
+        def run(src):
+            levels0 = jnp.full((A.nrows,), jnp.int32(-1)).at[src].set(0)
+            f0 = jnp.zeros((A.nrows,), jnp.float32).at[src].set(1.0)
+
+            def cond(state):
+                _, f, _ = state
+                return jnp.any(f > 0)
+
+            def body(state):
+                levels, f, depth = state
+                nxt = (SPRT.spmv_route(f, plan) > 0) & (levels < 0)
+                levels = jnp.where(nxt, depth + 1, levels)
+                return levels, nxt.astype(jnp.float32), depth + 1
+
+            levels, _, _ = jax.lax.while_loop(
+                cond, body, (levels0, f0, jnp.int32(0)))
+            return levels
+
+        return run(jnp.int32(source))
     Ar = A.to_format(SPARSE, ROW)
     return _bfs_fused_kernel(Ar.indptr, Ar.indices, jnp.int32(source),
                              A.nrows)
@@ -179,10 +236,39 @@ def _pagerank_fused_kernel(indptr_t, indices_t, outdeg, n, damping, tol,
     return r, iters
 
 
-def pagerank_fused(A: Matrix, damping=0.85, tol=1e-6, max_iter=100):
+def pagerank_fused(A: Matrix, damping=0.85, tol=1e-6, max_iter=100,
+                   optimize=False):
     Ar = A.to_format(SPARSE, ROW)
     outdeg = jnp.diff(Ar.indptr).astype(jnp.float32)
     At = A.to_format(SPARSE, COL)  # A in CSC == A' in CSR
+    plan = _pattern_route_plan(At, build=optimize)
+    if plan is not None:
+        from ..kernels import spmv_route as SPRT
+        n = A.nrows
+        safe_deg = jnp.where(outdeg > 0, outdeg, 1.0)
+
+        @jax.jit
+        def run():
+            r0 = jnp.full((n,), 1.0 / n, jnp.float32)
+            teleport = jnp.float32((1.0 - damping) / n)
+
+            def body(state):
+                r, it, delta = state
+                w = r / safe_deg
+                rn = SPRT.spmv_route(w, plan)
+                dangling = jnp.sum(jnp.where(outdeg > 0, 0.0, r))
+                rn = jnp.float32(damping) * (rn + dangling / n) + teleport
+                return rn, it + 1, jnp.sum(jnp.abs(rn - r))
+
+            def cond(state):
+                _, it, delta = state
+                return (it < max_iter) & (delta > tol)
+
+            return jax.lax.while_loop(
+                cond, body, (r0, jnp.int32(0), jnp.float32(np.inf)))
+
+        r, iters, _ = run()
+        return r, iters
     return _pagerank_fused_kernel(At.indptr, At.indices, outdeg, A.nrows,
                                   jnp.float32(damping), jnp.float32(tol),
                                   max_iter)

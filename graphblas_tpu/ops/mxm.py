@@ -391,11 +391,22 @@ def _spmm(A: Matrix, B: Matrix, sr, zt, relabel=_ident_relabel) -> Matrix:
 
 def spmv_arrays(indptr, indices, values, x, m: int):
     """Raw CSR SpMV (plus-times): the hot kernel behind bench.py and the
-    fused algorithm tier.  Dispatches to the Pallas kernel when enabled and
-    profitable, else the XLA gather+segment-sum substrate."""
+    fused algorithm tier.  3-tier dispatch (the reference's
+    factory->JIT->generic, Source/GB_AxB_saxpy3.c:607-680): the
+    static-routing engine when a plan was built for this matrix
+    (Matrix.optimize), else the one-hot MXU kernel when eligible, else the
+    XLA gather+segment-sum substrate."""
     from ..core import config as _cfg
     nnz = indices.shape[0]
     if _cfg.GLOBAL.pallas_enabled and values.dtype == jnp.float32:
+        try:
+            from ..kernels import spmv_route
+            rp = spmv_route.plan_for(indptr, indices, values,
+                                     (m, int(x.shape[0])), build=False)
+            if rp is not None:
+                return spmv_route.spmv_route(x.astype(jnp.float32), rp)
+        except Exception:  # pragma: no cover - fall back
+            pass
         try:
             from ..kernels import spmv_onehot
             if spmv_onehot.eligible(m, int(x.shape[0]), int(nnz)):
