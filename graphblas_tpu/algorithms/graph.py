@@ -152,7 +152,7 @@ def bfs_levels_fused(A: Matrix, source: int, optimize=False):
         from ..kernels import spmv_route as SPRT
 
         @jax.jit
-        def run(src):
+        def run(src, pln):
             levels0 = jnp.full((A.nrows,), jnp.int32(-1)).at[src].set(0)
             f0 = jnp.zeros((A.nrows,), jnp.float32).at[src].set(1.0)
 
@@ -162,7 +162,7 @@ def bfs_levels_fused(A: Matrix, source: int, optimize=False):
 
             def body(state):
                 levels, f, depth = state
-                nxt = (SPRT.spmv_route(f, plan) > 0) & (levels < 0)
+                nxt = (SPRT.spmv_route(f, pln) > 0) & (levels < 0)
                 levels = jnp.where(nxt, depth + 1, levels)
                 return levels, nxt.astype(jnp.float32), depth + 1
 
@@ -170,7 +170,9 @@ def bfs_levels_fused(A: Matrix, source: int, optimize=False):
                 cond, body, (levels0, f0, jnp.int32(0)))
             return levels
 
-        return run(jnp.int32(source))
+        # the plan rides in as a pytree ARGUMENT (not a baked constant:
+        # bench-scale plans blow the remote-compile payload limit)
+        return run(jnp.int32(source), plan)
     Ar = A.to_format(SPARSE, ROW)
     return _bfs_fused_kernel(Ar.indptr, Ar.indices, jnp.int32(source),
                              A.nrows)
@@ -245,18 +247,18 @@ def pagerank_fused(A: Matrix, damping=0.85, tol=1e-6, max_iter=100,
     if plan is not None:
         from ..kernels import spmv_route as SPRT
         n = A.nrows
-        safe_deg = jnp.where(outdeg > 0, outdeg, 1.0)
 
         @jax.jit
-        def run():
+        def run(pln, deg_arr):
             r0 = jnp.full((n,), 1.0 / n, jnp.float32)
             teleport = jnp.float32((1.0 - damping) / n)
+            sdeg = jnp.where(deg_arr > 0, deg_arr, 1.0)
 
             def body(state):
                 r, it, delta = state
-                w = r / safe_deg
-                rn = SPRT.spmv_route(w, plan)
-                dangling = jnp.sum(jnp.where(outdeg > 0, 0.0, r))
+                w = r / sdeg
+                rn = SPRT.spmv_route(w, pln)
+                dangling = jnp.sum(jnp.where(deg_arr > 0, 0.0, r))
                 rn = jnp.float32(damping) * (rn + dangling / n) + teleport
                 return rn, it + 1, jnp.sum(jnp.abs(rn - r))
 
@@ -267,7 +269,7 @@ def pagerank_fused(A: Matrix, damping=0.85, tol=1e-6, max_iter=100,
             return jax.lax.while_loop(
                 cond, body, (r0, jnp.int32(0), jnp.float32(np.inf)))
 
-        r, iters, _ = run()
+        r, iters, _ = run(plan, outdeg)
         return r, iters
     return _pagerank_fused_kernel(At.indptr, At.indices, outdeg, A.nrows,
                                   jnp.float32(damping), jnp.float32(tol),

@@ -15,6 +15,11 @@ from .ops import transpose as _transpose_mod
 
 
 def _finish(C, out):
+    from .core.convert import conform
+    if isinstance(out, Matrix):
+        # sparsity control is a property of the C target (reference:
+        # per-matrix GxB_SPARSITY_CONTROL governs GB_conform on C)
+        out = conform(out, like=C)
     if C is not None:
         C._replace_from(out)
         return C

@@ -22,6 +22,9 @@ def _clone(a: Matrix, **kw) -> Matrix:
     obj.indptr, obj.h, obj.indices, obj.values, obj.bitmap = (
         a.indptr, a.h, a.indices, a.values, a.bitmap)
     obj._pending, obj._nvals_cache, obj.name = [], None, a.name
+    for k in ("sparsity_control", "hyper_switch", "bitmap_switch"):
+        if getattr(a, k, None) is not None:
+            setattr(obj, k, getattr(a, k))
     for k, v in kw.items():
         setattr(obj, k, v)
     return obj
@@ -150,14 +153,67 @@ def _sparse_reorient(a: Matrix, orient: str) -> Matrix:
 
 # -- conform (reference: Source/GB_conform.c — applied after every op) ------
 
-def conform(a: Matrix) -> Matrix:
-    """Auto format switching per the global bitmap/hyper switches.  The
-    reference's full rule set (GB_matrix.h:394-458) keyed on per-matrix
-    sparsity_control; here the op layer already picks output formats
-    deliberately, so conform only densifies pathologically dense sparse
-    matrices and hyper-izes mostly-empty ones."""
-    if a.fmt == SPARSE:
-        mn = a.nrows * a.ncols
-        if 0 < mn <= 1 << 24 and a.nvals > CFG.GLOBAL.bitmap_switch * mn:
-            return a  # keep: bitmap switch disabled by default in round 1
-    return a
+def conform(a: Matrix, like: Matrix | None = None) -> Matrix:
+    """Auto format switching after every op (reference: Source/GB_conform.c,
+    rules at Source/Shared/GB_matrix.h:394-458).
+
+    Decisions are keyed on the matrix's ``sparsity_control`` (set via
+    ``Matrix.set("sparsity_control", ...)``; "auto" allows every format)
+    and the hyper/bitmap switches (per-matrix override, else global):
+
+      * all entries present and FULL allowed          -> full
+      * density > bitmap_switch and BITMAP allowed    -> bitmap
+      * bitmap with density < bitmap_switch/2         -> sparse (hysteresis)
+      * sparse with nonempty-vector fraction below
+        hyper_switch and HYPER allowed                -> hypersparse
+      * hyper with fraction >= 2*hyper_switch         -> sparse
+
+    The density rules need nvals — a device sync under the TPU tunnel — so
+    in nonblocking mode they run only when nvals is already known (the
+    static-shape analog of the reference deferring work to GrB_wait);
+    blocking mode always evaluates them, as the spec requires results to
+    be finished."""
+    mn = a.nrows * a.ncols
+    if mn == 0 or getattr(a, "_pending", None):
+        return a
+    src = like if like is not None else a   # controls live on the C target
+    ctrl = getattr(src, "sparsity_control", None) or "auto"
+    allowed = ({HYPER, SPARSE, BITMAP, FULL} if ctrl == "auto"
+               else {c.strip() for c in ctrl.split("+")})
+    bsw = getattr(src, "bitmap_switch", None)
+    if bsw is None:
+        bsw = CFG.GLOBAL.bitmap_switch
+    hsw = getattr(src, "hyper_switch", None)
+    if hsw is None:
+        hsw = CFG.GLOBAL.hyper_switch
+
+    nv = None
+    if a.fmt == FULL:
+        nv = mn
+    elif CFG.GLOBAL.blocking or a._nvals_cache is not None:
+        nv = a.nvals
+
+    out = a
+    if nv is not None:
+        d = nv / mn
+        if nv == mn and FULL in allowed and a.fmt != FULL:
+            out = convert(a, FULL, a.orient)
+        elif a.fmt in (SPARSE, HYPER) and d > bsw and BITMAP in allowed:
+            out = convert(a, BITMAP, a.orient)
+        elif a.fmt == BITMAP and d <= bsw / 2 and SPARSE in allowed:
+            out = convert(a, SPARSE, a.orient)
+        elif a.fmt == FULL and nv < mn:  # pragma: no cover - full is total
+            out = convert(a, BITMAP, a.orient)
+    if out.fmt == SPARSE and HYPER in allowed and nv is not None:
+        nvec = out._nvec_dim()
+        # sufficient, sync-free: nonempty <= nvals, so nvals < h*nvec
+        # implies the nonempty fraction is below the switch
+        if nvec and nv < hsw * nvec:
+            out = convert(out, HYPER, out.orient)
+    elif out.fmt == HYPER and SPARSE in allowed:
+        nvec = out._nvec_dim()
+        if nvec and out.h.shape[0] >= 2 * hsw * nvec:
+            out = convert(out, SPARSE, out.orient)
+    if out is not a:
+        CFG.burble("conform: %s -> %s", a.fmt, out.fmt)
+    return out

@@ -64,7 +64,8 @@ class Matrix:
 
     __slots__ = ("shape", "fmt", "orient", "iso", "dtype",
                  "indptr", "h", "indices", "values", "bitmap",
-                 "_pending", "_nvals_cache", "name")
+                 "_pending", "_nvals_cache", "name",
+                 "sparsity_control", "hyper_switch", "bitmap_switch")
 
     def __init__(self, shape, dtype, fmt=SPARSE, orient=None, iso=False,
                  indptr=None, h=None, indices=None, values=None, bitmap=None,
@@ -229,7 +230,7 @@ class Matrix:
             self.wait()
         obj = object.__new__(type(self))
         for s in Matrix.__slots__:
-            setattr(obj, s, getattr(self, s))
+            setattr(obj, s, getattr(self, s, None))
         obj._pending = []
         return obj
 
@@ -504,7 +505,11 @@ class Matrix:
         opts = {"format": self.fmt, "orientation": self.orient,
                 "nrows": self.nrows, "ncols": self.ncols,
                 "dtype": self.dtype.name, "iso": self.iso,
-                "name": self.name}
+                "name": self.name,
+                "sparsity_control": getattr(self, "sparsity_control", None)
+                or "auto",
+                "hyper_switch": getattr(self, "hyper_switch", None),
+                "bitmap_switch": getattr(self, "bitmap_switch", None)}
         if name not in opts:
             raise E.InvalidValue(f"unknown option {name!r}")
         return opts[name]
@@ -516,6 +521,16 @@ class Matrix:
             self._replace_from(self.to_orient(value))
         elif name == "name":
             self.name = str(value)
+        elif name == "sparsity_control":
+            # "auto" or a "+"-joined subset of hyper/sparse/bitmap/full
+            # (reference: GxB_SPARSITY_CONTROL bitmask)
+            valid = {HYPER, SPARSE, BITMAP, FULL}
+            if value != "auto" and \
+                    not {c.strip() for c in str(value).split("+")} <= valid:
+                raise E.InvalidValue(f"bad sparsity_control {value!r}")
+            self.sparsity_control = value
+        elif name in ("hyper_switch", "bitmap_switch"):
+            setattr(self, name, float(value))
         else:
             raise E.InvalidValue(f"unknown/read-only option {name!r}")
 

@@ -305,6 +305,60 @@ class SpmvRoutePlan:
 
 
 # ---------------------------------------------------------------------------
+# pytree registration: plans must flow into jit as ARGUMENTS, not captured
+# constants — under the axon tunnel the HLO (with baked constants) ships to
+# a remote compile service, and bench-scale plans (~1 GB) exceed its
+# request limit.  As pytrees the arrays ride the normal donation path.
+# ---------------------------------------------------------------------------
+
+def _register_plan_pytrees():
+    def flat_gather(g):
+        return (g.hi, g.val), (g.W, g.RB, g.RBL, g.n, g.nnz)
+
+    def unflat_gather(aux, leaves):
+        g = object.__new__(GatherPlan)
+        g.hi, g.val = leaves
+        g.W, g.RB, g.RBL, g.n, g.nnz = aux
+        g.pos = None
+        g._tmp = None
+        return g
+
+    jax.tree_util.register_pytree_node(GatherPlan, flat_gather,
+                                       unflat_gather)
+
+    def flat_gp(gp):
+        return ((gp.ii1, gp.bits1, gp.io1, gp.ii2, gp.bits2, gp.io2),
+                (gp.T, gp.rows_pp, gp.R1, gp.R2, gp.npad, gp.dists1,
+                 gp.dists2))
+
+    def unflat_gp(aux, leaves):
+        gp = object.__new__(SRT.GlobalPermutePlan)
+        (gp.ii1, gp.bits1, gp.io1, gp.ii2, gp.bits2, gp.io2) = leaves
+        (gp.T, gp.rows_pp, gp.R1, gp.R2, gp.npad, gp.dists1,
+         gp.dists2) = aux
+        return gp
+
+    jax.tree_util.register_pytree_node(SRT.GlobalPermutePlan, flat_gp,
+                                       unflat_gp)
+
+    def flat_plan(p):
+        return ((p.g, p.gp, p.sel_lidx, p.sel_bitsU, p.sel_bitsD),
+                (p.T, p.YT_ROWS, p.m, p.n))
+
+    def unflat_plan(aux, leaves):
+        p = object.__new__(SpmvRoutePlan)
+        p.g, p.gp, p.sel_lidx, p.sel_bitsU, p.sel_bitsD = leaves
+        p.T, p.YT_ROWS, p.m, p.n = aux
+        return p
+
+    jax.tree_util.register_pytree_node(SpmvRoutePlan, flat_plan,
+                                       unflat_plan)
+
+
+_register_plan_pytrees()
+
+
+# ---------------------------------------------------------------------------
 # plan cache + serialization (the plan is a storage format: reference
 # analog GxB pack/unpack move semantics + the hyper-hash built per matrix)
 # ---------------------------------------------------------------------------

@@ -96,7 +96,7 @@ def _reclass(a: Matrix, klass):
         return a
     obj = object.__new__(klass)
     for s in Matrix.__slots__:
-        setattr(obj, s, getattr(a, s))
+        setattr(obj, s, getattr(a, s, None))
     return obj
 
 
