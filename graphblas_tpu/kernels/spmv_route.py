@@ -48,9 +48,18 @@ class GatherPlan:
     window: the route plan passes a larger value so the packed blocks
     spread uniformly over the route domain — real sources then land
     evenly across source tiles, which is what lets the balanced filler
-    level every (src-tile, dst-tile) bucket to the minimum slab height."""
+    level every (src-tile, dst-tile) bucket to the minimum slab height.
 
-    __slots__ = ("hi", "val", "W", "RB", "RBL", "n", "nnz", "pos", "_tmp")
+    Power-law columns (the GAP graphs' defining property, SURVEY.md §7):
+    a heavy column concentrates all its entries into one (window, residue)
+    class and would blow RB up by orders of magnitude.  Hub columns are
+    therefore rerouted to VIRTUAL windows: their entries split into
+    <=RB-entry chunks, each chunk owning one table cell, and the virtual
+    tables are built from x at run time by one small gather
+    (x[vcells] — #cells = 16384 per virtual window, a few windows total)."""
+
+    __slots__ = ("hi", "val", "W", "Wv", "vcells", "RB", "RBL", "n", "nnz",
+                 "pos", "_tmp")
 
     def __init__(self, indptr, indices, values, shape, defer=False):
         from ..utils import native as NV
@@ -62,14 +71,52 @@ class GatherPlan:
         w = ci // WIN
         res = ci & 127
         hi = (ci >> 7) & 127
+        # -- hub columns -> virtual windows ------------------------------
+        colcnt = np.bincount(ci, minlength=n) if nnz else np.zeros(n, int)
+        cls_mean = max(nnz // (W * 128), 1)
+        thresh = max(2 * cls_mean, 256)
+        hub_mark = colcnt > thresh
+        Wv = 0
+        vcells = None
+        if hub_mark.any():
+            ishub = hub_mark[ci]
+            reg_key = (w * 128 + res)[~ishub]
+            kmax_reg = int(np.bincount(reg_key, minlength=W * 128).max()) \
+                if reg_key.size else 1
+            cap = max((-(-max(kmax_reg, 1) // 128)) * 128, 256)
+            hub_cols = np.flatnonzero(hub_mark)
+            hcnt = colcnt[hub_cols]
+            nchunks = -(-hcnt // cap)
+            chunk_base = np.zeros(hub_cols.size + 1, np.int64)
+            np.cumsum(nchunks, out=chunk_base[1:])
+            total_chunks = int(chunk_base[-1])
+            Wv = -(-total_chunks // 16384)
+            # rank hub entries within their column (appearance order)
+            hcol_id = np.searchsorted(hub_cols, ci[ishub])
+            r_in_col, _ = NV.rank_by_key(hcol_id, hub_cols.size)
+            r_in_col = r_in_col.astype(np.int64)
+            j = chunk_base[hcol_id] + r_in_col // cap    # global chunk id
+            cell = j % 16384
+            w[ishub] = W + j // 16384
+            res[ishub] = cell & 127
+            hi[ishub] = cell >> 7
+            # runtime table sources: cell (res, lane) of vw holds x[col]
+            vcells = np.zeros(Wv * 16384, np.int32)
+            ch_col = np.repeat(hub_cols, nchunks)        # col per chunk
+            ch_j = np.arange(total_chunks, dtype=np.int64)
+            ch_cell = ch_j % 16384
+            vcells[(ch_j // 16384) * 16384 + (ch_cell & 127) * 128
+                   + (ch_cell >> 7)] = ch_col.astype(np.int32)
         # rows cycle through residues: entry with residue r in window w
         # goes to packed row w*RBL + (k*128 + r) for its k-th slot
         key = w * 128 + res
-        slot, counts = NV.rank_by_key(key, W * 128)
+        slot, counts = NV.rank_by_key(key, (W + Wv) * 128)
         slot = slot.astype(np.int64)
         kmax = int(counts.max()) if nnz else 1
         RB = (-(-kmax // 128)) * 128        # capacity rows (mult of 128)
-        self.W, self.RB = W, RB
+        self.W, self.Wv, self.RB = W + Wv, Wv, RB
+        self.vcells = (jnp.asarray(vcells.reshape(Wv * 128, 128))
+                       if Wv else None)
         self.n, self.nnz = n, nnz
         self._tmp = (w, res, hi, slot, vv, key, counts)
         if not defer:
@@ -125,10 +172,15 @@ def gather_products(x, plan: GatherPlan, *, interpret=False):
     """prods (W*RBL, 128) f32: product values in packed gather order."""
     interpret = _auto_interpret(interpret)
     W, RB = plan.W, plan.RBL
-    npad = W * WIN
+    Wr = W - plan.Wv
+    npad = Wr * WIN
     xp = jnp.pad(x.astype(jnp.float32), (0, npad - x.shape[0]))
     # window-transposed x: row = residue (col & 127), lane = col >> 7
-    xt = jnp.swapaxes(xp.reshape(W, 128, 128), 1, 2).reshape(W * 128, 128)
+    xt = jnp.swapaxes(xp.reshape(Wr, 128, 128), 1, 2).reshape(Wr * 128, 128)
+    if plan.Wv:
+        # virtual (hub) windows: tables gathered from x by the plan's
+        # cell->column map (one small gather; hubs are few)
+        xt = jnp.concatenate([xt, xp[plan.vcells]], axis=0)
     kernel = functools.partial(_gather_kernel, RB=RB)
     f = pl.pallas_call(
         kernel,
@@ -214,39 +266,88 @@ def _fill_balanced(perm, used, T, slots):
     return perm
 
 
+ROW_CAP = SRT.TILE_R * 64     # split rows beyond this into sub-rows
+_ROW_CAPS = (ROW_CAP, SRT.TILE_R * 16, SRT.TILE_R * 4, SRT.TILE_R, 254)
+
+
 class SpmvRoutePlan:
-    """Full engine plan for one CSR matrix (cached per matrix)."""
+    """Full engine plan for one CSR matrix (cached per matrix).
+
+    Rows never straddle destination tiles, so a row with more entries than
+    a tile's slot budget (power-law out-degree) is split into sub-rows of
+    <= ROW_CAP entries: the first chunk keeps the row's position, extra
+    chunks append past m, and the final y adds them back with one tiny
+    scatter-add (extra chunks are few)."""
 
     __slots__ = ("g", "gp", "sel_lidx", "sel_bitsU", "sel_bitsD",
-                 "T", "YT_ROWS", "m", "n")
+                 "T", "YT_ROWS", "m", "m_sub", "n", "extra_owner")
 
     def __init__(self, indptr, indices, values, shape):
-        m, n = shape
-        self.m, self.n = m, n
+        m0, n = shape
+        self.m, self.n = m0, n
         self.g = GatherPlan(indptr, indices, values, shape, defer=True)
         ip = np.asarray(indptr).astype(np.int64)
-        counts = np.diff(ip)
+        counts0 = np.diff(ip)
         TR = SRT.TILE_R
         slots = TR * 128
-        # rows per destination tile: uniform, 128-aligned, sized so every
-        # tile's entries + sentinels fit its slot budget
         N_cap = (self.g.W * self.g.RB * 128)
-        avg = (counts.mean() if m else 0.0) + 1.0
-        YT_ROWS = max(int(slots / avg / 128 * 0.90) // 8 * 8, 8)
-        while True:
-            Y_T = YT_ROWS * 128
-            # enough tiles for all rows AND for every gather slot (the
-            # route is a bijection: N_src <= N_dst must hold); T rounds up
-            # to a power of two so leveled buckets hit rows_pp*T == TILE_R
-            # exactly (keeping the Clos route domain at its minimum)
-            T = _next_pow2(max(-(-m // Y_T), -(-N_cap // slots)))
-            mpad = T * Y_T
-            cpad = np.zeros(mpad, np.int64)
-            cpad[:m] = counts
-            per_tile = (cpad + 1).reshape(T, Y_T).sum(axis=1)
-            if per_tile.max() <= slots or YT_ROWS == 8:
+
+        def split_heavy(cap):
+            nxtra = np.maximum(-(-counts0 // cap) - 1, 0)
+            if not nxtra.any():
+                return counts0, m0, None, None, None
+            heavy = np.flatnonzero(nxtra)
+            extra_base = np.zeros(m0 + 1, np.int64)
+            np.cumsum(nxtra, out=extra_base[1:])
+            K = int(extra_base[-1])
+            ri0 = np.repeat(np.arange(m0, dtype=np.int64), counts0)
+            within0 = np.arange(self.g.nnz, dtype=np.int64) - np.repeat(
+                ip[:-1], counts0)
+            chunk = within0 // cap
+            row_of = np.where(chunk == 0, ri0,
+                              m0 + extra_base[ri0] + chunk - 1)
+            within_of = within0 % cap
+            owner = np.repeat(heavy, nxtra[heavy]).astype(np.int32)
+            cs = np.empty(m0 + K, np.int64)
+            cs[:m0] = np.minimum(counts0, cap)
+            rem = np.repeat(counts0[heavy], nxtra[heavy]) - cap * (
+                np.arange(K) - np.repeat(extra_base[heavy], nxtra[heavy])
+                + 1)
+            cs[m0:] = np.minimum(rem, cap)
+            return cs, m0 + K, row_of, within_of, owner
+
+        # rows per destination tile: uniform, 128-aligned, sized so every
+        # tile's entries + sentinels fit its slot budget.  Heavy rows are
+        # chunked at row_cap; if chunks still overflow a tile (clumped
+        # extras), retry with a smaller cap.
+        fitted = False
+        for row_cap in _ROW_CAPS:
+            (counts, m, row_of_entry, within_of_entry,
+             owner) = split_heavy(row_cap)
+            avg = (counts.mean() if m else 0.0) + 1.0
+            YT_ROWS = max(int(slots / avg / 128 * 0.90) // 8 * 8, 8)
+            while True:
+                Y_T = YT_ROWS * 128
+                # enough tiles for all rows AND for every gather slot (the
+                # route is a bijection: N_src <= N_dst must hold); T rounds
+                # up to a power of two so leveled buckets hit
+                # rows_pp*T == TILE_R exactly (minimum Clos route domain)
+                T = _next_pow2(max(-(-m // Y_T), -(-N_cap // slots)))
+                mpad = T * Y_T
+                cpad = np.zeros(mpad, np.int64)
+                cpad[:m] = counts
+                per_tile = (cpad + 1).reshape(T, Y_T).sum(axis=1)
+                if per_tile.max() <= slots:
+                    fitted = True
+                    break
+                if YT_ROWS == 8:
+                    break
+                YT_ROWS -= 8
+            if fitted:
                 break
-            YT_ROWS -= 8
+        assert fitted, "route plan: rows do not fit any tile budget"
+        self.extra_owner = jnp.asarray(owner) if owner is not None else None
+        self.m_sub = m
         # spread both sides uniformly over the T route tiles so the real
         # (src-tile, dst-tile) buckets stay near nnz/T^2 and fillers can
         # level them at the minimum slab height:
@@ -282,9 +383,12 @@ class SpmvRoutePlan:
         # just position minus the row start — no sort needed.
         gs = self.g
         N_src = gs.W * gs.RBL * 128
-        ri = np.repeat(np.arange(m, dtype=np.int64), counts)
-        within = np.arange(gs.nnz, dtype=np.int64) - np.repeat(
-            ip[:-1], counts)
+        if row_of_entry is not None:
+            ri, within = row_of_entry, within_of_entry
+        else:
+            ri = np.repeat(np.arange(m, dtype=np.int64), counts)
+            within = np.arange(gs.nnz, dtype=np.int64) - np.repeat(
+                ip[:-1], counts)
         dst_slot = (tile_of_row[ri] * slots + row_off[ri] + within)
         # the permutation: dest -> source, leveled fillers
         assert N_src <= N_dst, (N_src, N_dst)
@@ -313,12 +417,13 @@ class SpmvRoutePlan:
 
 def _register_plan_pytrees():
     def flat_gather(g):
-        return (g.hi, g.val), (g.W, g.RB, g.RBL, g.n, g.nnz)
+        return ((g.hi, g.val, g.vcells),
+                (g.W, g.Wv, g.RB, g.RBL, g.n, g.nnz))
 
     def unflat_gather(aux, leaves):
         g = object.__new__(GatherPlan)
-        g.hi, g.val = leaves
-        g.W, g.RB, g.RBL, g.n, g.nnz = aux
+        g.hi, g.val, g.vcells = leaves
+        g.W, g.Wv, g.RB, g.RBL, g.n, g.nnz = aux
         g.pos = None
         g._tmp = None
         return g
@@ -342,13 +447,15 @@ def _register_plan_pytrees():
                                        unflat_gp)
 
     def flat_plan(p):
-        return ((p.g, p.gp, p.sel_lidx, p.sel_bitsU, p.sel_bitsD),
-                (p.T, p.YT_ROWS, p.m, p.n))
+        return ((p.g, p.gp, p.sel_lidx, p.sel_bitsU, p.sel_bitsD,
+                 p.extra_owner),
+                (p.T, p.YT_ROWS, p.m, p.m_sub, p.n))
 
     def unflat_plan(aux, leaves):
         p = object.__new__(SpmvRoutePlan)
-        p.g, p.gp, p.sel_lidx, p.sel_bitsU, p.sel_bitsD = leaves
-        p.T, p.YT_ROWS, p.m, p.n = aux
+        (p.g, p.gp, p.sel_lidx, p.sel_bitsU, p.sel_bitsD,
+         p.extra_owner) = leaves
+        p.T, p.YT_ROWS, p.m, p.m_sub, p.n = aux
         return p
 
     jax.tree_util.register_pytree_node(SpmvRoutePlan, flat_plan,
@@ -395,7 +502,7 @@ def register_plan(indptr, indices, values, shape, plan):
     _plan_cache[key] = (indptr, indices, values, plan)
 
 
-_PLAN_SCALARS = ("T", "YT_ROWS", "m", "n")
+_PLAN_SCALARS = ("T", "YT_ROWS", "m", "m_sub", "n")
 _GP_SCALARS = ("T", "rows_pp", "R1", "R2", "npad")
 _GP_ARRAYS = ("ii1", "bits1", "io1", "ii2", "bits2", "io2")
 
@@ -414,10 +521,15 @@ def save_plan(plan: "SpmvRoutePlan", path):
         blob["gp_" + k] = np.asarray(getattr(plan.gp, k))
     blob["gp_dists1"] = np.asarray(plan.gp.dists1, np.int64)
     blob["gp_dists2"] = np.asarray(plan.gp.dists2, np.int64)
-    for k in ("W", "RB", "RBL", "n", "nnz"):
+    for k in ("W", "Wv", "RB", "RBL", "n", "nnz"):
         blob["g_" + k] = np.int64(getattr(plan.g, k))
     blob["g_hi"] = np.asarray(plan.g.hi)
     blob["g_val"] = np.asarray(plan.g.val)
+    blob["g_vcells"] = (np.asarray(plan.g.vcells) if plan.g.vcells
+                        is not None else np.zeros((0, 128), np.int32))
+    blob["extra_owner"] = (np.asarray(plan.extra_owner)
+                           if plan.extra_owner is not None
+                           else np.zeros(0, np.int32))
     np.savez(path, **blob)
 
 
@@ -437,13 +549,16 @@ def load_plan(path) -> "SpmvRoutePlan":
     gp.dists2 = tuple(int(d) for d in z["gp_dists2"])
     plan.gp = gp
     g = object.__new__(GatherPlan)
-    for k in ("W", "RB", "RBL", "n", "nnz"):
+    for k in ("W", "Wv", "RB", "RBL", "n", "nnz"):
         setattr(g, k, int(z["g_" + k]))
     g.hi = jnp.asarray(z["g_hi"])
     g.val = jnp.asarray(z["g_val"])
+    g.vcells = jnp.asarray(z["g_vcells"]) if z["g_vcells"].size else None
     g.pos = None
     g._tmp = None
     plan.g = g
+    eo = z["extra_owner"]
+    plan.extra_owner = jnp.asarray(eo) if eo.size else None
     return plan
 
 
@@ -566,4 +681,9 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
         mid4 = mid.reshape(T2, T2, rows_pp, 128)
         y = phase2(mid4, gp.ii2, gp.bits2, gp.io2,
                    plan.sel_lidx, plan.sel_bitsU, plan.sel_bitsD)
-    return y.reshape(-1)[: plan.m]
+    y = y.reshape(-1)
+    if plan.extra_owner is not None:
+        # heavy-row sub-rows: add the extra chunks' partial sums back
+        return y[: plan.m].at[plan.extra_owner].add(
+            y[plan.m: plan.m_sub])
+    return y[: plan.m]
