@@ -1,0 +1,166 @@
+"""All-config benchmark (BASELINE.json configs 1-4 on one chip): SpMV,
+BFS, PageRank, triangle count, SpGEMM on the same synthetic graph as
+bench.py, against the reference compiled and measured ON THIS HOST
+(experiments/bench_ref.c; 1 core, COMPACT+JIT build) plus the published
+20-core anchors (BASELINE.md).
+
+Writes BENCH_ALL.json and prints one JSON line per config.  Run:
+    PYTHONPATH=/root/repo:/root/.axon_site python bench_all.py
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SYNC_FLOOR_S = 0.0286
+
+# reference measured on this host (1 core, COMPACT build, runtime JIT) —
+# regenerate with: gcc experiments/bench_ref.c + /tmp/bench_graph.bin
+REF_1CORE = {
+    "spmv_s": 0.1313, "bfs_s": 0.2761, "pagerank_iter_s": 0.3229,
+    "triangle_count_s": 4.2298, "spgemm_s": 201.743, "ntri": 647,
+    "spgemm_cnnz": 268406919,
+}
+REF_PUBLISHED_SPMV_GNNZ_S = 0.61     # GAP-twitter, 20-core Xeon
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import graphblas_tpu as gb
+    import scipy.sparse as sps
+    from graphblas_tpu.algorithms import graph as GALG
+    from graphblas_tpu.core import semiring as SR
+    from graphblas_tpu.core.matrix import COL, ROW, SPARSE
+    from graphblas_tpu.kernels import spmv_route as SPRT
+
+    gb.init()
+    n = 1 << 20
+    deg = 16
+    rng = np.random.default_rng(0)
+    S = sps.csr_matrix(
+        (np.ones(n * deg, np.float32),
+         (rng.integers(0, n, n * deg), rng.integers(0, n, n * deg))),
+        shape=(n, n))
+    S.sum_duplicates()
+    nnz = S.nnz
+    out = {"n": n, "nnz": int(nnz), "reference_1core_this_host": REF_1CORE}
+
+    # ---- SpMV (routing engine; plan cached on disk) --------------------
+    plan_path = os.path.join(HERE, ".bench_plan.npz")
+    t0 = time.perf_counter()
+    plan = None
+    if os.path.exists(plan_path):
+        try:
+            plan = SPRT.load_plan(plan_path)
+            if plan.m != n or plan.g.nnz != nnz:
+                plan = None
+        except Exception:
+            plan = None
+    if plan is None:
+        plan = SPRT.SpmvRoutePlan(S.indptr, S.indices, S.data, (n, n))
+        SPRT.save_plan(plan, plan_path)
+    plan_s = time.perf_counter() - t0
+    K = 60
+    x0 = jnp.asarray((rng.standard_normal(n) * 1e-3).astype(np.float32))
+
+    @jax.jit
+    def chained(v, pln):
+        def body(i, acc):
+            return SPRT.spmv_route(acc, pln) * jnp.float32(1.0 / deg)
+        return jax.lax.fori_loop(0, K, body, v)
+
+    y = chained(x0, plan)
+    _ = float(np.asarray(jnp.sum(y)))
+    t0 = time.perf_counter()
+    y = chained(x0, plan)
+    _ = float(np.asarray(jnp.sum(y)))
+    spmv_s = (time.perf_counter() - t0 - SYNC_FLOOR_S) / K
+    out["spmv"] = {
+        "s": round(spmv_s, 6), "gnnz_per_s": round(nnz / spmv_s / 1e9, 3),
+        "plan_s": round(plan_s, 1),
+        "vs_ref_this_host": round(REF_1CORE["spmv_s"] / spmv_s, 1),
+        "vs_ref_published_20core": round(
+            nnz / spmv_s / 1e9 / REF_PUBLISHED_SPMV_GNNZ_S, 2)}
+    print(json.dumps({"config": "spmv", **out["spmv"]}), flush=True)
+
+    # ---- pattern plan for A' (shared by BFS + PageRank) ----------------
+    A = gb.Matrix.from_scipy(S)
+    At = A.to_format(SPARSE, COL)
+    tplan_path = os.path.join(HERE, ".bench_plan_t.npz")
+    t0 = time.perf_counter()
+    tplan = None
+    if os.path.exists(tplan_path):
+        try:
+            tplan = SPRT.load_plan(tplan_path)
+            if tplan.g.nnz != nnz:
+                tplan = None
+        except Exception:
+            tplan = None
+    if tplan is None:
+        ip = np.asarray(At.indptr)
+        ix = np.asarray(At.indices)
+        tplan = SPRT.SpmvRoutePlan(ip, ix, np.ones(nnz, np.float32), (n, n))
+        SPRT.save_plan(tplan, tplan_path)
+    GALG._pattern_plans.clear()
+    GALG._pattern_plans[(id(At.indptr), id(At.indices), At.shape)] = (
+        At.indptr, At.indices, tplan)
+    tplan_s = time.perf_counter() - t0
+
+    # ---- BFS (fused + routed frontier expansion) -----------------------
+    levels = GALG.bfs_levels_fused(At, 0)        # compile + run
+    nlv = int(np.asarray(levels).max()) + 1
+    t0 = time.perf_counter()
+    levels = GALG.bfs_levels_fused(At, 0)
+    _ = int(np.asarray(levels).max())
+    bfs_s = time.perf_counter() - t0 - SYNC_FLOOR_S
+    out["bfs"] = {
+        "s": round(bfs_s, 4), "levels": nlv, "plan_s": round(tplan_s, 1),
+        "gteps": round(nnz / bfs_s / 1e9, 3),
+        "vs_ref_this_host": round(REF_1CORE["bfs_s"] / bfs_s, 1)}
+    print(json.dumps({"config": "bfs", **out["bfs"]}), flush=True)
+
+    # ---- PageRank (fused + routed; 20 fixed iterations) ----------------
+    r, iters = GALG.pagerank_fused(At, tol=0.0, max_iter=20)
+    _ = float(np.asarray(jnp.sum(r)))
+    t0 = time.perf_counter()
+    r, iters = GALG.pagerank_fused(At, tol=0.0, max_iter=20)
+    _ = float(np.asarray(jnp.sum(r)))
+    pr_s = (time.perf_counter() - t0 - SYNC_FLOOR_S) / 20
+    out["pagerank"] = {
+        "iter_s": round(pr_s, 5),
+        "gteps": round(nnz / pr_s / 1e9, 3),
+        "vs_ref_this_host": round(REF_1CORE["pagerank_iter_s"] / pr_s, 1)}
+    print(json.dumps({"config": "pagerank", **out["pagerank"]}), flush=True)
+
+    # ---- Triangle count (masked plus-pair SpGEMM, tiled ESC) -----------
+    t0 = time.perf_counter()
+    ntri = GALG.triangle_count(A)
+    tc_s = time.perf_counter() - t0
+    out["triangle_count"] = {
+        "s": round(tc_s, 2), "ntri": int(ntri),
+        "matches_ref": int(ntri) == REF_1CORE["ntri"],
+        "vs_ref_this_host": round(REF_1CORE["triangle_count_s"] / tc_s, 2)}
+    print(json.dumps({"config": "triangle_count",
+                      **out["triangle_count"]}), flush=True)
+
+    # ---- SpGEMM C = S*S (tiled ESC, peak memory O(F_block)) ------------
+    t0 = time.perf_counter()
+    C = gb.mxm(A, A, SR.PLUS_TIMES)
+    cnnz = int(C.nvals)
+    gem_s = time.perf_counter() - t0
+    out["spgemm"] = {
+        "s": round(gem_s, 2), "cnnz": cnnz,
+        "matches_ref_nnz": cnnz == REF_1CORE["spgemm_cnnz"],
+        "vs_ref_this_host": round(REF_1CORE["spgemm_s"] / gem_s, 2)}
+    print(json.dumps({"config": "spgemm", **out["spgemm"]}), flush=True)
+
+    with open(os.path.join(HERE, "BENCH_ALL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

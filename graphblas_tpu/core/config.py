@@ -58,8 +58,16 @@ def init(mode: str = "nonblocking", compilation_cache_dir: str | None = None
     hostmem.tune()
     if os.environ.get("GB_BURBLE"):
         GLOBAL.burble = True
+    if compilation_cache_dir is None:
+        # on by default: the ~/.SuiteSparse PreJIT-cache analog
+        # (reference: Source/GB_jitifyer.c:1449-1560); GB_NO_JIT_CACHE
+        # opts out
+        if not os.environ.get("GB_NO_JIT_CACHE"):
+            compilation_cache_dir = os.path.expanduser(
+                "~/.graphblas_tpu/xla_cache")
     if compilation_cache_dir:
         import jax
+        os.makedirs(compilation_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir",
                           str(compilation_cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

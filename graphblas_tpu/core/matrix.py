@@ -349,10 +349,19 @@ class Matrix:
 
     # -- element access (reference: Source/GB_setElement.c, GB_Element.h) --
 
+    def _check_index(self, i, j):
+        # bounds-checked up front like the reference (GrB_INVALID_INDEX
+        # from GrB_*_setElement), not deferred to wait()
+        if not (0 <= int(i) < self.nrows and 0 <= int(j) < self.ncols):
+            raise E.IndexOutOfBounds(
+                f"({i},{j}) outside {self.nrows}x{self.ncols}")
+
     def set_element(self, i, j, value):
+        self._check_index(i, j)
         self._add_pending(i, j, value, "second")
 
     def remove_element(self, i, j):
+        self._check_index(i, j)
         self._add_pending(i, j, None, "delete")
 
     def extract_element(self, i, j):

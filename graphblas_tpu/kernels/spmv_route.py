@@ -72,41 +72,75 @@ class GatherPlan:
         res = ci & 127
         hi = (ci >> 7) & 127
         # -- hub columns -> virtual windows ------------------------------
+        # Data-driven: a class ((window, residue) pair) overloads either
+        # from one mega column or a cluster of medium ones.  For every
+        # class above the load target, hub its largest columns until the
+        # remainder fits; hub entries split into <=cap chunks which
+        # BIN-PACK into virtual classes (many chunks share a class, each
+        # on its own table lane), so hub space stays proportional.
         colcnt = np.bincount(ci, minlength=n) if nnz else np.zeros(n, int)
         cls_mean = max(nnz // (W * 128), 1)
-        thresh = max(2 * cls_mean, 256)
-        hub_mark = colcnt > thresh
+        CAPT = max((3 * cls_mean) // 2, 384)
+        cls_cnt = np.bincount(w * 128 + res, minlength=W * 128)
+        over = np.flatnonzero(cls_cnt > CAPT)
         Wv = 0
         vcells = None
-        if hub_mark.any():
+        if over.size:
+            ww, rr = over // 128, over % 128
+            cols_mat = (ww[:, None] * WIN + rr[:, None]
+                        + 128 * np.arange(128)[None, :])
+            cols_mat = np.minimum(cols_mat, n - 1)
+            cnt_mat = colcnt[cols_mat]
+            ordd = np.argsort(-cnt_mat, axis=1, kind="stable")
+            scnt = np.take_along_axis(cnt_mat, ordd, axis=1)
+            rem = cls_cnt[over][:, None] - np.cumsum(scnt, axis=1)
+            hubn = np.minimum((rem > CAPT).sum(axis=1) + 1, 128)
+            pick = np.arange(128)[None, :] < hubn[:, None]
+            hub_cols = np.unique(
+                np.take_along_axis(cols_mat, ordd, axis=1)[pick])
+            hub_cols = hub_cols[colcnt[hub_cols] > 0]
+            hub_mark = np.zeros(n, bool)
+            hub_mark[hub_cols] = True
             ishub = hub_mark[ci]
-            reg_key = (w * 128 + res)[~ishub]
-            kmax_reg = int(np.bincount(reg_key, minlength=W * 128).max()) \
-                if reg_key.size else 1
-            cap = max((-(-max(kmax_reg, 1) // 128)) * 128, 256)
-            hub_cols = np.flatnonzero(hub_mark)
+            cap = (-(-CAPT // 128)) * 128
             hcnt = colcnt[hub_cols]
             nchunks = -(-hcnt // cap)
             chunk_base = np.zeros(hub_cols.size + 1, np.int64)
             np.cumsum(nchunks, out=chunk_base[1:])
             total_chunks = int(chunk_base[-1])
-            Wv = -(-total_chunks // 16384)
+            ch_col = np.repeat(hub_cols, nchunks)
+            ch_in_col = (np.arange(total_chunks, dtype=np.int64)
+                         - np.repeat(chunk_base[:-1], nchunks))
+            ch_sz = np.minimum(np.repeat(hcnt, nchunks)
+                               - cap * ch_in_col, cap)
+            # next-fit decreasing pack: chunks -> virtual classes
+            order_c = np.argsort(-ch_sz, kind="stable")
+            cls_of = np.empty(total_chunks, np.int64)
+            lane_of = np.empty(total_chunks, np.int64)
+            cls_id, load, lanes = 0, 0, 0
+            for cidx in order_c:
+                sz = int(ch_sz[cidx])
+                if load + sz > cap or lanes >= 128:
+                    cls_id += 1
+                    load, lanes = 0, 0
+                cls_of[cidx] = cls_id
+                lane_of[cidx] = lanes
+                load += sz
+                lanes += 1
+            n_vcls = cls_id + 1
+            Wv = -(-n_vcls // 128)
             # rank hub entries within their column (appearance order)
             hcol_id = np.searchsorted(hub_cols, ci[ishub])
             r_in_col, _ = NV.rank_by_key(hcol_id, hub_cols.size)
             r_in_col = r_in_col.astype(np.int64)
             j = chunk_base[hcol_id] + r_in_col // cap    # global chunk id
-            cell = j % 16384
-            w[ishub] = W + j // 16384
-            res[ishub] = cell & 127
-            hi[ishub] = cell >> 7
+            w[ishub] = W + cls_of[j] // 128
+            res[ishub] = cls_of[j] % 128
+            hi[ishub] = lane_of[j]
             # runtime table sources: cell (res, lane) of vw holds x[col]
             vcells = np.zeros(Wv * 16384, np.int32)
-            ch_col = np.repeat(hub_cols, nchunks)        # col per chunk
-            ch_j = np.arange(total_chunks, dtype=np.int64)
-            ch_cell = ch_j % 16384
-            vcells[(ch_j // 16384) * 16384 + (ch_cell & 127) * 128
-                   + (ch_cell >> 7)] = ch_col.astype(np.int32)
+            vcells[(cls_of // 128) * 16384 + (cls_of % 128) * 128
+                   + lane_of] = ch_col.astype(np.int32)
         # rows cycle through residues: entry with residue r in window w
         # goes to packed row w*RBL + (k*128 + r) for its k-th slot
         key = w * 128 + res
@@ -267,7 +301,10 @@ def _fill_balanced(perm, used, T, slots):
 
 
 ROW_CAP = SRT.TILE_R * 64     # split rows beyond this into sub-rows
-_ROW_CAPS = (ROW_CAP, SRT.TILE_R * 16, SRT.TILE_R * 4, SRT.TILE_R, 254)
+
+
+def _row_caps(TR):
+    return (TR * 64, TR * 16, TR * 4, TR, 254)
 
 
 class SpmvRoutePlan:
@@ -280,7 +317,7 @@ class SpmvRoutePlan:
     scatter-add (extra chunks are few)."""
 
     __slots__ = ("g", "gp", "sel_lidx", "sel_bitsU", "sel_bitsD",
-                 "T", "YT_ROWS", "m", "m_sub", "n", "extra_owner")
+                 "T", "TR", "YT_ROWS", "m", "m_sub", "n", "extra_owner")
 
     def __init__(self, indptr, indices, values, shape):
         m0, n = shape
@@ -288,9 +325,17 @@ class SpmvRoutePlan:
         self.g = GatherPlan(indptr, indices, values, shape, defer=True)
         ip = np.asarray(indptr).astype(np.int64)
         counts0 = np.diff(ip)
-        TR = SRT.TILE_R
-        slots = TR * 128
         N_cap = (self.g.W * self.g.RB * 128)
+        # adaptive tile size: keep the route tile count T <= ~256 so the
+        # slab height stays above the 8-sublane floor (T >> 256 would
+        # multiply the Benes domain by 8T/2048) — GAP-scale inputs use
+        # bigger tiles instead of more of them
+        need = int(N_cap * 1.2) + m0
+        TR = SRT.TILE_R
+        while need > 256 * TR * 128 and TR < 16384:
+            TR *= 2
+        self.TR = TR
+        slots = TR * 128
 
         def split_heavy(cap):
             nxtra = np.maximum(-(-counts0 // cap) - 1, 0)
@@ -321,7 +366,7 @@ class SpmvRoutePlan:
         # chunked at row_cap; if chunks still overflow a tile (clumped
         # extras), retry with a smaller cap.
         fitted = False
-        for row_cap in _ROW_CAPS:
+        for row_cap in _row_caps(TR):
             (counts, m, row_of_entry, within_of_entry,
              owner) = split_heavy(row_cap)
             avg = (counts.mean() if m else 0.0) + 1.0
@@ -397,7 +442,7 @@ class SpmvRoutePlan:
         used = np.zeros(N_dst, bool)
         used[gs.pos] = True
         perm = _fill_balanced(perm, used, T, slots)
-        self.gp = SRT.GlobalPermutePlan(perm, N_dst)
+        self.gp = SRT.GlobalPermutePlan(perm, N_dst, tile_r=TR)
         # selection pack per dest tile: the sentinel slot of tile-row p
         # (the cumsum through that row) is delivered to raster position p
         # by a monotone concentrator — plan is pure rank arithmetic
@@ -433,13 +478,13 @@ def _register_plan_pytrees():
 
     def flat_gp(gp):
         return ((gp.ii1, gp.bits1, gp.io1, gp.ii2, gp.bits2, gp.io2),
-                (gp.T, gp.rows_pp, gp.R1, gp.R2, gp.npad, gp.dists1,
-                 gp.dists2))
+                (gp.T, gp.TR, gp.rows_pp, gp.R1, gp.R2, gp.npad,
+                 gp.dists1, gp.dists2))
 
     def unflat_gp(aux, leaves):
         gp = object.__new__(SRT.GlobalPermutePlan)
         (gp.ii1, gp.bits1, gp.io1, gp.ii2, gp.bits2, gp.io2) = leaves
-        (gp.T, gp.rows_pp, gp.R1, gp.R2, gp.npad, gp.dists1,
+        (gp.T, gp.TR, gp.rows_pp, gp.R1, gp.R2, gp.npad, gp.dists1,
          gp.dists2) = aux
         return gp
 
@@ -449,13 +494,13 @@ def _register_plan_pytrees():
     def flat_plan(p):
         return ((p.g, p.gp, p.sel_lidx, p.sel_bitsU, p.sel_bitsD,
                  p.extra_owner),
-                (p.T, p.YT_ROWS, p.m, p.m_sub, p.n))
+                (p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n))
 
     def unflat_plan(aux, leaves):
         p = object.__new__(SpmvRoutePlan)
         (p.g, p.gp, p.sel_lidx, p.sel_bitsU, p.sel_bitsD,
          p.extra_owner) = leaves
-        p.T, p.YT_ROWS, p.m, p.m_sub, p.n = aux
+        p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n = aux
         return p
 
     jax.tree_util.register_pytree_node(SpmvRoutePlan, flat_plan,
@@ -502,8 +547,8 @@ def register_plan(indptr, indices, values, shape, plan):
     _plan_cache[key] = (indptr, indices, values, plan)
 
 
-_PLAN_SCALARS = ("T", "YT_ROWS", "m", "m_sub", "n")
-_GP_SCALARS = ("T", "rows_pp", "R1", "R2", "npad")
+_PLAN_SCALARS = ("T", "TR", "YT_ROWS", "m", "m_sub", "n")
+_GP_SCALARS = ("T", "TR", "rows_pp", "R1", "R2", "npad")
 _GP_ARRAYS = ("ii1", "bits1", "io1", "ii2", "bits2", "io2")
 
 
@@ -585,7 +630,7 @@ def _raster_cumsum(x):
 
 def _phase2ext_kernel(x_ref, ii_ref, bits_ref, io_ref,
                       slidx_ref, sbU_ref, sbD_ref, y_ref,
-                      *, dists, R, rows_in, YT_ROWS):
+                      *, dists, R, rows_in, YT_ROWS, TR):
     x = x_ref[:].reshape(rows_in, 128)
     if rows_in < R:
         x = jnp.concatenate(
@@ -594,12 +639,12 @@ def _phase2ext_kernel(x_ref, ii_ref, bits_ref, io_ref,
     x = jnp.take_along_axis(x, ii_ref[:].astype(jnp.int32), axis=1)
     x = SRT._benes_stages(x, bits_ref[:], dists, R)
     x = jnp.take_along_axis(x, io_ref[:].astype(jnp.int32), axis=1)
-    tile = x[: SRT.TILE_R, :]
+    tile = x[: TR, :]
     # fused reduce: raster cumsum, pack row-end slots to the front block
     # (lane placement gather + monotone concentrator), difference
     cs = _raster_cumsum(tile)
     cs = jnp.take_along_axis(cs, slidx_ref[:].astype(jnp.int32), axis=1)
-    cs = SRT._pack_stages(cs, sbU_ref[:], sbD_ref[:], SRT.TILE_R)
+    cs = SRT._pack_stages(cs, sbU_ref[:], sbD_ref[:], TR)
     sel = cs[:YT_ROWS, :]
     a = pltpu.roll(sel, 1, 1)
     b = pltpu.roll(a, 1, 0)
@@ -617,22 +662,23 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
     interpret = _auto_interpret(interpret)
     gp = plan.gp
     T2, R1, R2 = gp.T, gp.R1, gp.R2
+    TR = getattr(gp, "TR", SRT.TILE_R)
     rows_pp = gp.rows_pp
     prods = gather_products(x, plan.g, interpret=interpret)
     # pad product array to the route domain and run phase 1
-    N_dst = T2 * SRT.TILE_R * 128
+    N_dst = T2 * TR * 128
     pf = prods.reshape(-1)
     pf = jnp.pad(pf, (0, N_dst - pf.shape[0]))
     xp = pf.reshape(-1, 128)
     k1 = functools.partial(SRT._phase_kernel, dists=gp.dists1, R=R1,
-                           rows_in=SRT.TILE_R, rows_out=T2 * rows_pp)
+                           rows_in=TR, rows_out=T2 * rows_pp)
     cp = (None if interpret else
           pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
     phase1 = pl.pallas_call(
         k1,
         grid=(T2,),
         in_specs=[
-            pl.BlockSpec((SRT.TILE_R, 128), lambda t: (t, 0),
+            pl.BlockSpec((TR, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R1, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -649,7 +695,8 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
         compiler_params=cp,
     )
     k2 = functools.partial(_phase2ext_kernel, dists=gp.dists2, R=R2,
-                           rows_in=T2 * rows_pp, YT_ROWS=plan.YT_ROWS)
+                           rows_in=T2 * rows_pp, YT_ROWS=plan.YT_ROWS,
+                           TR=TR)
     phase2 = pl.pallas_call(
         k2,
         grid=(T2,),
@@ -662,11 +709,11 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R2, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SRT.TILE_R, 128), lambda t: (t, 0),
+            pl.BlockSpec((TR, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SRT.TILE_R, 128), lambda t: (t, 0),
+            pl.BlockSpec((TR, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SRT.TILE_R, 128), lambda t: (t, 0),
+            pl.BlockSpec((TR, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((plan.YT_ROWS, 128), lambda t: (t, 0),

@@ -406,12 +406,12 @@ class GlobalPermutePlan:
     final order.  Per-element plan data: 2 x (int8 lane idx pair + int32
     packed Benes masks) streamed alongside the values."""
 
-    __slots__ = ("T", "rows_pp", "R1", "R2", "npad",
+    __slots__ = ("T", "TR", "rows_pp", "R1", "R2", "npad",
                  "ii1", "bits1", "io1", "ii2", "bits2", "io2", "dists1",
                  "dists2")
 
-    def __init__(self, perm, n):
-        R = TILE_R
+    def __init__(self, perm, n, tile_r=TILE_R):
+        R = self.TR = int(tile_r)
         tile_elems = R * 128
         T = -(-n // tile_elems)
         npad = T * tile_elems
@@ -512,17 +512,18 @@ def global_permute(x, plan: GlobalPermutePlan, *, interpret=False):
     """out.flat[p] = x.flat[perm[p]] for an fp32 array of n elements,
     executed as two Clos-permute passes with BlockSpec-only addressing."""
     T, R1, R2 = plan.T, plan.R1, plan.R2
+    TR = getattr(plan, "TR", TILE_R)
     rows_pp = plan.rows_pp
     n = x.shape[0]
     xp = jnp.pad(x.reshape(-1), (0, plan.npad - n)).reshape(-1, 128)
 
     k1 = functools.partial(_phase_kernel, dists=plan.dists1, R=R1,
-                           rows_in=TILE_R, rows_out=T * rows_pp)
+                           rows_in=TR, rows_out=T * rows_pp)
     stage = pl.pallas_call(
         k1,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((TILE_R, 128), lambda t: (t, 0),
+            pl.BlockSpec((TR, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R1, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -539,7 +540,7 @@ def global_permute(x, plan: GlobalPermutePlan, *, interpret=False):
             vmem_limit_bytes=100 * 1024 * 1024),
     )
     k2 = functools.partial(_phase_kernel, dists=plan.dists2, R=R2,
-                           rows_in=T * rows_pp, rows_out=TILE_R)
+                           rows_in=T * rows_pp, rows_out=TR)
 
     def k2_wrap(x_ref, ii_ref, bits_ref, io_ref, y_ref):
         blk = x_ref[:]                           # (T, 1, rows_pp, 128)
@@ -563,9 +564,9 @@ def global_permute(x, plan: GlobalPermutePlan, *, interpret=False):
             pl.BlockSpec((R2, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_R, 128), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((TR, 128), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T * TILE_R, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T * TR, 128), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -430,14 +430,21 @@ def _flop_count(a_cols, b_indptr):
     return cumf, cumf[-1]
 
 
+SPGEMM_FLOP_BLOCK = 1 << 24   # peak expanded products per row block
+
+
 def _spgemm_esc(A, B, sr, zt, mask, desc, accum,
                 relabel=_ident_relabel) -> Matrix:
-    """Expand-sort-compress SpGEMM.
+    """Expand-sort-compress SpGEMM, tiled by row blocks.
 
     Phase 0 (flopcount; reference: GB_AxB_saxpy3_flopcount.c): exact product
     count F = sum over A entries of |B(k,:)|; one host sync.
+    Phase 0.5 (tiling; reference: the coarse-task slicing of
+    GB_AxB_saxpy3_slice_balanced): A's rows are grouped into blocks of
+    <= SPGEMM_FLOP_BLOCK products so peak memory is O(F_block), not O(F) —
+    nd24k-class C=S^2 (F ~ 1e9+) runs without OOM.
     Phase 1 (expand): product p -> (A entry e, B offset) via searchsorted on
-    the cumulative flop array; produces i/j/value streams of length F.
+    the cumulative flop array; produces i/j/value streams of length F_block.
     Phase 1.5 (dot3 analog): if a mask is present, products are pre-filtered
     by the effective write mask (safe: writeback re-applies the mask).
     Phase 2 (sort+compress): 64-bit key stable sort + segmented reduce under
@@ -460,37 +467,115 @@ def _spgemm_esc(A, B, sr, zt, mask, desc, accum,
     if F == 0:
         return Matrix((m, n), zt, SPARSE, ROW)
     a_rows = K.expand_rowids(Ar.indptr, nnzA, m)
-    keys, prod = _spgemm_expand(Ar, Br, a_rows, cumf, F, sr, zt, n, relabel)
+    if F <= SPGEMM_FLOP_BLOCK:
+        out = _spgemm_block(Ar, Br, a_rows, cumf, 0, F, sr, zt, m, n,
+                            mask, desc, relabel)
+        indptr, uidx, cv = out
+        return Matrix((m, n), zt, SPARSE, ROW, indptr=indptr, indices=uidx,
+                      values=cv)
+    # row-block tiling: split at row boundaries so each block expands at
+    # most SPGEMM_FLOP_BLOCK products (a single row larger than the block
+    # still processes alone — entry-granular splitting of one row would
+    # break dedup)
+    ip_h = np.asarray(Ar.indptr)
+    cumf_h = np.asarray(cumf)
+    row_cum = cumf_h[ip_h]                   # cumulative flops at row starts
+    starts = [0]
+    while starts[-1] < m:
+        r0 = starts[-1]
+        r1 = int(np.searchsorted(row_cum, row_cum[r0] + SPGEMM_FLOP_BLOCK,
+                                 side="right")) - 1
+        starts.append(max(r1, r0 + 1))
+    CFG.burble("spgemm: %d row blocks", len(starts) - 1)
+    parts = []
+    for r0, r1 in zip(starts[:-1], starts[1:]):
+        f0, f1 = int(row_cum[r0]), int(row_cum[r1])
+        if f1 == f0:
+            parts.append((np.zeros(r1 - r0 + 1, np.int64), None, None))
+            continue
+        indptr_b, uidx, cv = _spgemm_block(
+            Ar, Br, a_rows, cumf, f0, f1 - f0, sr, zt, m, n, mask, desc,
+            relabel, row_lo=r0, row_hi=r1, F_total=F)
+        parts.append((np.asarray(indptr_b), uidx, cv))
+    # assemble: per-block indptrs concatenate with running offsets
+    counts = np.concatenate([np.diff(p[0]) for p in parts])
+    indptr = np.zeros(m + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    idx_parts = [p[1] for p in parts if p[1] is not None]
+    val_parts = [p[2] for p in parts if p[2] is not None]
+    uidx = jnp.concatenate(idx_parts) if idx_parts else \
+        jnp.zeros(0, INDEX)
+    cv = jnp.concatenate(val_parts) if val_parts else \
+        jnp.zeros(0, zt.np_dtype)
+    return Matrix((m, n), zt, SPARSE, ROW,
+                  indptr=jnp.asarray(indptr.astype(INDEX)), indices=uidx,
+                  values=cv)
+
+
+def _next_pow2_i(x):
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _spgemm_block(Ar, Br, a_rows, cumf, f0, Fb, sr, zt, m, n, mask, desc,
+                  relabel, row_lo=0, row_hi=None, F_total=None):
+    """One ESC pass over products [f0, f0+Fb); returns (indptr_slice,
+    indices, values) where indptr_slice covers rows [row_lo, row_hi).
+    Fb pads to a power of two so tiled blocks share compiled shapes; pad
+    products carry an out-of-range sentinel key and drop after the sort."""
+    row_hi = m if row_hi is None else row_hi
+    Fb_pad = _next_pow2_i(Fb)
+    sentinel = None
+    if F_total is not None and f0 + Fb_pad > F_total:
+        sentinel = m * n
+    elif Fb_pad > Fb:
+        sentinel = m * n
+    keys, prod = _spgemm_expand(Ar, Br, a_rows, cumf, Fb_pad, sr, zt, n,
+                                relabel, f0=f0,
+                                valid_hi=(f0 + Fb if sentinel is not None
+                                          else None), sentinel=sentinel)
     if mask is not None and mask.fmt in (SPARSE, HYPER):
-        # dot3-style pre-filter by effective write mask
         eff = mask_bits_at_keys(mask, keys, n, ROW, desc)
         kept, (keys, prod) = K.compact(eff, keys, prod)
-        CFG.burble("spgemm: mask prefilter %d -> %d products", F, kept)
+        CFG.burble("spgemm: mask prefilter %d -> %d products", Fb, kept)
         if kept == 0:
-            return Matrix((m, n), zt, SPARSE, ROW)
+            return (jnp.zeros(row_hi - row_lo + 1, INDEX),
+                    jnp.zeros(0, INDEX), jnp.zeros(0, zt.np_dtype))
     order = jnp.argsort(keys, stable=False)
     skeys = keys[order]
     sprod = prod[order]
     gid, ng = K.group_ids(skeys)
     cv = K.segment_reduce(sprod, gid, ng, sr.add)
     ukeys = jnp.zeros((ng,), skeys.dtype).at[gid].set(skeys)
+    if sentinel is not None and ng and int(ukeys[ng - 1]) >= sentinel:
+        ng -= 1                      # drop the pad group (sorts last)
+        ukeys, cv = ukeys[:ng], cv[:ng]
     uvec, uidx = K.key_split(ukeys, n)
-    indptr = K.indptr_from_sorted(uvec, m, INDEX)
-    return Matrix((m, n), zt, SPARSE, ROW, indptr=indptr, indices=uidx,
-                  values=cv)
+    if row_lo or row_hi != m:
+        uvec = uvec - row_lo
+    indptr = K.indptr_from_sorted(uvec, row_hi - row_lo, INDEX)
+    return indptr, uidx, cv
 
 
 def _spgemm_expand(Ar, Br, a_rows, cumf, F: int, sr, zt, n: int,
-                   relabel=_ident_relabel):
+                   relabel=_ident_relabel, f0: int = 0, valid_hi=None,
+                   sentinel=None):
     mult = sr.mult
-    p = jnp.arange(F, dtype=jnp.int64)
+    nnzA = Ar.indices.shape[0]
+    p = jnp.arange(F, dtype=jnp.int64) + jnp.int64(f0)
     e = jnp.searchsorted(cumf[1:], p, side="right").astype(jnp.int64)
-    off = p - cumf[e]
-    b_pos = Br.indptr[Ar.indices[e]].astype(jnp.int64) + off
+    e = jnp.minimum(e, nnzA - 1)
+    off = jnp.maximum(p - cumf[e], 0)
+    b_pos = jnp.minimum(Br.indptr[Ar.indices[e]].astype(jnp.int64) + off,
+                        Br.indices.shape[0] - 1)
     i = a_rows[e].astype(jnp.int64)
     ka = Ar.indices[e].astype(jnp.int64)
     j = Br.indices[b_pos].astype(jnp.int64)
     keys = i * n + j
+    if sentinel is not None:
+        keys = jnp.where(p < valid_hi, keys, jnp.int64(sentinel))
     if mult.positional:
         ri, rk, rj = relabel(i, ka, j)
         prod = _positional_product_vals(mult.positional, ri, rk, rj, zt)

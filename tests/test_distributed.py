@@ -11,6 +11,8 @@ import graphblas_tpu as gb
 from graphblas_tpu import parallel as par
 from graphblas_tpu.core import semiring as sr
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh():

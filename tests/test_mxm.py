@@ -18,6 +18,8 @@ FMT_PAIRS = [(gb.SPARSE, gb.SPARSE), (gb.SPARSE, gb.BITMAP),
              (gb.BITMAP, gb.SPARSE), (gb.BITMAP, gb.BITMAP),
              (gb.SPARSE, gb.FULL), (gb.FULL, gb.FULL)]
 
+pytestmark = pytest.mark.slow
+
 
 def _mk(rng, m, n, density, fmt, dtype=np.float64):
     if fmt == gb.FULL:
@@ -190,3 +192,48 @@ def test_rowscale_colscale_diagonal(rng):
                                want1.toarray(), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(C2.to_dense_pair()[0]),
                                want2.toarray(), rtol=1e-12)
+
+
+def test_spgemm_row_block_tiling(rng, monkeypatch):
+    """Tiled ESC (peak memory O(F_block)) matches the single-pass result
+    (VERDICT r1 #3)."""
+    import scipy.sparse as sps
+    from graphblas_tpu.ops import mxm as MXM
+    from graphblas_tpu.core import semiring as sr
+    n = 300
+    A = sps.random(n, n, density=0.05, random_state=np.random.RandomState(7),
+                   format="csr", dtype=np.float64)
+    B = sps.random(n, n, density=0.05, random_state=np.random.RandomState(8),
+                   format="csr", dtype=np.float64)
+    want = (A @ B).toarray()
+    gA, gB = gb.Matrix.from_scipy(A), gb.Matrix.from_scipy(B)
+    C1 = gb.mxm(gA, gB, sr.PLUS_TIMES)
+    monkeypatch.setattr(MXM, "SPGEMM_FLOP_BLOCK", 16384)  # force several blocks
+    C2 = gb.mxm(gA, gB, sr.PLUS_TIMES)
+    for C in (C1, C2):
+        got = np.zeros((n, n))
+        got_v, got_p = C.to_dense_pair()
+        got = np.where(np.asarray(got_p), np.asarray(got_v), 0.0)
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_spgemm_tiled_masked(rng, monkeypatch):
+    import scipy.sparse as sps
+    from graphblas_tpu.ops import mxm as MXM
+    from graphblas_tpu.core import semiring as sr
+    n = 200
+    A = sps.random(n, n, density=0.06, random_state=np.random.RandomState(9),
+                   format="csr", dtype=np.float64)
+    M = sps.random(n, n, density=0.1, random_state=np.random.RandomState(10),
+                   format="csr", dtype=np.float64)
+    M.data[:] = 1.0
+    gA = gb.Matrix.from_scipy(A)
+    gM = gb.Matrix.from_scipy(M)
+    ref = gb.mxm(gA, gA, sr.PLUS_TIMES, mask=gM)
+    monkeypatch.setattr(MXM, "SPGEMM_FLOP_BLOCK", 8192)
+    tiled = gb.mxm(gA, gA, sr.PLUS_TIMES, mask=gM)
+    rv, rp = ref.to_dense_pair()
+    tv, tp = tiled.to_dense_pair()
+    np.testing.assert_array_equal(np.asarray(rp), np.asarray(tp))
+    np.testing.assert_allclose(np.asarray(rv)[np.asarray(rp)],
+                               np.asarray(tv)[np.asarray(tp)], rtol=1e-10)

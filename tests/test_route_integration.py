@@ -12,6 +12,8 @@ from graphblas_tpu.algorithms import graph as GALG
 from graphblas_tpu.core import semiring as SR
 from graphblas_tpu.kernels import spmv_route as SPRT
 
+pytestmark = pytest.mark.slow
+
 
 def _graph(rng, n, deg):
     nnz = n * deg

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from graphblas_tpu.kernels import spmv_route as SPRT
 
+pytestmark = pytest.mark.slow
+
 
 def _check(S, rng, atol_scale=1e-5):
     n = S.shape[0]
@@ -50,7 +52,7 @@ def test_zipf_columns(rng):
 
 
 def test_heavy_row_split(rng, monkeypatch):
-    monkeypatch.setattr(SPRT, "_ROW_CAPS", (64,))
+    monkeypatch.setattr(SPRT, "_row_caps", lambda TR: (64,))
     n = 1200
     r1 = np.full(500, 7)
     c1 = rng.choice(n, 500, replace=False)
@@ -67,7 +69,7 @@ def test_heavy_row_split(rng, monkeypatch):
 
 def test_heavy_row_and_hub_roundtrip_serialization(rng, monkeypatch,
                                                    tmp_path):
-    monkeypatch.setattr(SPRT, "_ROW_CAPS", (128,))
+    monkeypatch.setattr(SPRT, "_row_caps", lambda TR: (128,))
     n = 1500
     r1 = np.full(400, 3)
     c1 = rng.choice(n, 400, replace=False)

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from graphblas_tpu.kernels import spmv_route as SPR
 
+pytestmark = pytest.mark.slow
+
 
 def _rand_csr(rng, m, n, deg):
     nnz = m * deg

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from graphblas_tpu.kernels import static_route as SRT
 
+pytestmark = pytest.mark.slow
+
 
 def _apply_numpy(x, dists, masks):
     x = x.copy()
