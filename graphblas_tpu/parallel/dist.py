@@ -126,7 +126,20 @@ class DistMatrix:
 # local (per-shard) SpMV bodies
 # ---------------------------------------------------------------------------
 
-def _local_spmv(iptr, idx, vals, nnz, xfull, sr: Semiring, zt):
+def _positional_mxv(kind, gi, gk):
+    """Positional multiply in mxv context: A(i,k) x u(k) — FIRSTI=i,
+    FIRSTJ=SECONDI=k, SECONDJ=0 (u is n-by-1; reference positional table).
+    Raises on unknown kinds instead of guessing."""
+    table = {"firsti": gi, "firsti1": gi + 1, "firstj": gk,
+             "firstj1": gk + 1, "secondi": gk, "secondi1": gk + 1,
+             "secondj": jnp.zeros_like(gk), "secondj1": jnp.ones_like(gk)}
+    if kind not in table:
+        raise NotImplementedError(f"positional {kind} on dist_mxv")
+    return table[kind]
+
+
+def _local_spmv(iptr, idx, vals, nnz, xfull, sr: Semiring, zt, row0=0,
+                col0=0):
     """y_local = A_local (+).(x) x_full with padding masked to identity."""
     rows_per = iptr.shape[0] - 1
     cap = idx.shape[0]
@@ -134,8 +147,8 @@ def _local_spmv(iptr, idx, vals, nnz, xfull, sr: Semiring, zt):
     ident = jnp.asarray(sr.add.identity_for(zt), zt)
     xg = xfull[idx]
     if sr.mult.positional:
-        # distributed positional: k = global column id (the gathered index)
-        prod = idx.astype(zt)
+        prod = _positional_mxv(sr.mult.positional, (rows + row0),
+                               idx + col0).astype(zt)
     else:
         prod = sr.mult.fn(vals, xg).astype(zt)
     pos = jnp.arange(cap)
@@ -153,7 +166,16 @@ def _local_vxm_partial(iptr, idx, vals, nnz, xloc, row0, n_pad,
     ident = jnp.asarray(sr.add.identity_for(zt), zt)
     xi = xloc[rows]
     if sr.mult.positional:
-        prod = (rows.astype(zt) + row0)
+        # vxm context: u'(i) x A(i,j) — FIRSTI=0 (u is 1-by-n),
+        # FIRSTJ=SECONDI=i (global row), SECONDJ=j (global col)
+        kind = sr.mult.positional
+        gi = rows + row0
+        table = {"firsti": jnp.zeros_like(gi), "firsti1": jnp.ones_like(gi),
+                 "firstj": gi, "firstj1": gi + 1, "secondi": gi,
+                 "secondi1": gi + 1, "secondj": idx, "secondj1": idx + 1}
+        if kind not in table:
+            raise NotImplementedError(f"positional {kind} on dist_vxm")
+        prod = table[kind].astype(zt)
     else:
         prod = sr.mult.fn(xi, vals).astype(zt)
     pos = jnp.arange(cap)
@@ -190,49 +212,72 @@ def _combine_axis(partial, axis, add_name):
 # public distributed ops
 # ---------------------------------------------------------------------------
 
-def dist_mxv(A: DistMatrix, x, sr: Semiring = SR.PLUS_TIMES, out_dtype=None):
-    """y = A (+).(x) x : all_gather x over ICI, local SpMV per shard.
-    x: dense length-n array (replicated or sharded); returns sharded y."""
+def dist_mxv(A: DistMatrix, x, sr: Semiring = SR.PLUS_TIMES, out_dtype=None,
+             mask=None, accum=None, c=None, mask_complement=False):
+    """y = c<mask> (accum) A (+).(x) x : all_gather x over ICI, local SpMV
+    per shard; mask/accum applied IN-SHARD (dense length-n mask and c,
+    sharded like y — the GrB C<M>+=... semantics on the dist tier)."""
     zt = np.dtype(out_dtype) if out_dtype else np.asarray(x).dtype
     axis = A.axis
     xs = A.shard_x(x)
+    has_mask = mask is not None
+    has_c = c is not None
+    ms = A.shard_x(np.asarray(mask, bool)) if has_mask else xs
+    cs = A.shard_x(np.asarray(c, zt)) if has_c else xs
 
     @functools.partial(
         shard_map, mesh=A.mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis))
-    def step(iptr, idx, vals, nnz, xloc):
+        in_specs=(P(axis),) * 7, out_specs=P(axis))
+    def step(iptr, idx, vals, nnz, xloc, mloc, cloc):
+        d = jax.lax.axis_index(axis)
         xfull = jax.lax.all_gather(xloc[0], axis, tiled=True)
-        y = _local_spmv(iptr[0], idx[0], vals[0], nnz[0], xfull, sr, zt)
+        y = _local_spmv(iptr[0], idx[0], vals[0], nnz[0], xfull, sr, zt,
+                        row0=d * A.rows_per)
+        base = cloc[0].astype(zt) if has_c else jnp.zeros_like(y)
+        if accum is not None:
+            y = accum.fn(base, y).astype(zt)
+        if has_mask:
+            keep = mloc[0] != mask_complement
+            y = jnp.where(keep, y, base)
         return y[None]
 
-    y = step(A.indptr, A.indices, A.values, A.nnz, xs)
+    y = step(A.indptr, A.indices, A.values, A.nnz, xs, ms, cs)
     return A.unshard_y(y)
 
 
-def dist_vxm(A: DistMatrix, x, sr: Semiring = SR.PLUS_TIMES, out_dtype=None):
-    """w = x' (+).(x) A : local partials + psum_scatter re-shard (the
-    frontier/halo exchange)."""
+def dist_vxm(A: DistMatrix, x, sr: Semiring = SR.PLUS_TIMES, out_dtype=None,
+             mask=None, accum=None, c=None, mask_complement=False):
+    """w = c<mask> (accum) x' (+).(x) A : local partials + psum re-shard
+    (the frontier/halo exchange); mask/accum applied in-shard."""
     zt = np.dtype(out_dtype) if out_dtype else np.asarray(x).dtype
     axis = A.axis
     xs = A.shard_x(x)
     n_pad = A.ndev * A.rows_per
     add_name = sr.add.op.name
+    has_mask = mask is not None
+    has_c = c is not None
+    ms = A.shard_x(np.asarray(mask, bool)) if has_mask else xs
+    cs = A.shard_x(np.asarray(c, zt)) if has_c else xs
 
     @functools.partial(
         shard_map, mesh=A.mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis))
-    def step(iptr, idx, vals, nnz, xloc):
+        in_specs=(P(axis),) * 7, out_specs=P(axis))
+    def step(iptr, idx, vals, nnz, xloc, mloc, cloc):
         d = jax.lax.axis_index(axis)
-        row0 = (d * A.rows_per).astype(zt) if sr.mult.positional else 0
         partial = _local_vxm_partial(iptr[0], idx[0], vals[0], nnz[0],
-                                     xloc[0], row0, n_pad, sr, zt)
+                                     xloc[0], d * A.rows_per, n_pad, sr,
+                                     zt)
         full = _combine_axis(partial, axis, add_name)
         mine = jax.lax.dynamic_slice(full, (d * A.rows_per,), (A.rows_per,))
+        base = cloc[0].astype(zt) if has_c else jnp.zeros_like(mine)
+        if accum is not None:
+            mine = accum.fn(base, mine).astype(zt)
+        if has_mask:
+            keep = mloc[0] != mask_complement
+            mine = jnp.where(keep, mine, base)
         return mine[None]
 
-    w = step(A.indptr, A.indices, A.values, A.nnz, xs)
+    w = step(A.indptr, A.indices, A.values, A.nnz, xs, ms, cs)
     return A.unshard_y(w)
 
 
@@ -255,12 +300,18 @@ def dist_reduce_scalar(A: DistMatrix, mon=MON.PLUS):
 # distributed algorithms (one jitted while_loop each)
 # ---------------------------------------------------------------------------
 
-def dist_bfs_levels(A: DistMatrix, source: int):
-    """Level-synchronous distributed BFS; frontier = sharded dense bool,
-    exchanged per level with pmax (BASELINE.json config 5)."""
+def dist_bfs_levels(A: DistMatrix, source: int, frontier_cap: int = None):
+    """Level-synchronous distributed BFS (BASELINE.json config 5).
+
+    Frontier exchange is direction-adaptive (SURVEY.md §7 halo-volume
+    bullet): small frontiers exchange as COMPRESSED sorted id lists
+    (all_gather of ndev*frontier_cap int32 — the iso-bool sparse frontier),
+    large ones fall back to the dense n-bit pmax.  The switch is a uniform
+    pmax predicate so every device takes the same branch."""
     axis = A.axis
     n_pad = A.ndev * A.rows_per
     rows_per = A.rows_per
+    fcap = frontier_cap or max(rows_per // 16, 128)
 
     @functools.partial(
         shard_map, mesh=A.mesh,
@@ -286,9 +337,27 @@ def dist_bfs_levels(A: DistMatrix, source: int):
         def body(state):
             levels, frontier, depth = state
             hits = frontier[rows] & valid
-            partial = jnp.zeros((n_pad,), bool).at[tgt].max(hits,
-                                                            mode="drop")
-            nxt_full = jax.lax.pmax(partial.astype(jnp.int32), axis) > 0
+            # unique local candidate targets, sorted (n_pad = absent)
+            cand = jnp.sort(jnp.where(hits, tgt, n_pad))
+            uniq = jnp.concatenate([jnp.ones(1, bool),
+                                    cand[1:] != cand[:-1]]) & (cand < n_pad)
+            ucnt = jnp.sum(uniq.astype(jnp.int32))
+            small = jax.lax.pmax(
+                jnp.where(ucnt <= fcap, 0, 1), axis) == 0
+
+            def sparse_exchange(_):
+                ids = jnp.sort(jnp.where(uniq, cand, n_pad))[:fcap]
+                gathered = jax.lax.all_gather(ids, axis)   # [ndev, fcap]
+                return jnp.zeros((n_pad,), bool).at[
+                    gathered.reshape(-1)].max(True, mode="drop")
+
+            def dense_exchange(_):
+                partial = jnp.zeros((n_pad,), bool).at[tgt].max(
+                    hits, mode="drop")
+                return jax.lax.pmax(partial.astype(jnp.int32), axis) > 0
+
+            nxt_full = jax.lax.cond(small, sparse_exchange, dense_exchange,
+                                    0)
             mine = jax.lax.dynamic_slice(nxt_full, (row0,), (rows_per,))
             mine = mine & (levels < 0)
             levels = jnp.where(mine, depth + 1, levels)
@@ -397,7 +466,8 @@ def dist_mxm(A: "DistMatrix", B: "DistMatrix", sr: Semiring = SR.PLUS_TIMES,
 
     @functools.partial(
         shard_map, mesh=A.mesh,
-        in_specs=(P(axis),) * 8, out_specs=(P(axis), P(axis), P(axis)),
+        in_specs=(P(axis),) * 8,
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
         check_vma=False)
     def step(ipa, ixa, va, nza, ipb, ixb, vb, nzb):
         # gather B fully local (block-row SUMMA round; ICI all-gather)
@@ -448,35 +518,28 @@ def dist_mxm(A: "DistMatrix", B: "DistMatrix", sr: Semiring = SR.PLUS_TIMES,
                                indices_are_sorted=True)
         ukey = jnp.full((F,), jnp.int64(2**62)).at[gid].set(skey)
         uvalid = ukey < 2**62
-        urow = jnp.where(uvalid, ukey // n_out, 0).astype(jnp.int32)
+        rows_per = ipa[0].shape[0] - 1
+        # LOCAL row ids (this shard owns exactly its row block); invalid
+        # entries sort to rows_per so the CSR pointers close correctly
+        urow = jnp.where(uvalid, ukey // n_out, 0).astype(jnp.int64)
+        lrow = jnp.where(uvalid, urow, rows_per)
         ucol = jnp.where(uvalid, ukey % n_out, 0).astype(jnp.int32)
         red = jnp.where(uvalid, red, ident)
         cnt = jnp.sum(uvalid.astype(jnp.int32))
-        # indices ride in their own int32 array — never through the value
-        # dtype (bool/int8 values would corrupt them, fp32 loses precision
-        # past 2^24)
-        idx = jnp.stack([urow, ucol])
-        return (red[None], idx[None], cnt[None, None])
+        # device-resident CSR shard: lrow is sorted (keys were), so the
+        # local indptr is a searchsorted — no host assembly round-trip
+        lptr = jnp.searchsorted(lrow, jnp.arange(rows_per + 1)
+                                ).astype(jnp.int32)
+        return (lptr[None], ucol[None], red[None], cnt[None, None])
 
-    vsh, ish, cnts = step(A.indptr, A.indices, A.values, A.nnz,
-                          B.indptr, B.indices, B.values, B.nnz)
-    # assemble a host Matrix then re-partition (correctness tier; a fused
-    # device-resident pipeline is the perf tier, planned)
-    vsh = np.asarray(vsh)
-    ish = np.asarray(ish)
-    cnts = np.asarray(cnts).reshape(-1)
-    rows, cols, vals = [], [], []
-    for d in range(ndev):
-        c = int(cnts[d])
-        rows.append(ish[d, 0, :c].astype(np.int64) + d * A.rows_per)
-        cols.append(ish[d, 1, :c].astype(np.int64))
-        vals.append(vsh[d, :c].astype(zt))
-    rows = np.concatenate(rows)
-    cols = np.concatenate(cols)
-    vals = np.concatenate(vals)
-    C = Matrix.from_coo(rows, cols, vals, (A.shape[0], n_out),
-                        dtype=zt, dup="second")
-    return DistMatrix.from_matrix(C, A.mesh, A.axis)
+    lptr, ucol, red, cnts = step(A.indptr, A.indices, A.values, A.nnz,
+                                 B.indptr, B.indices, B.values, B.nnz)
+    sh = NamedSharding(A.mesh, P(axis))
+    return DistMatrix(A.mesh, (A.shape[0], n_out),
+                      jax.device_put(lptr, sh), jax.device_put(ucol, sh),
+                      jax.device_put(red, sh),
+                      jax.device_put(cnts.reshape(-1).astype(jnp.int32),
+                                     sh), A.rows_per, axis)
 
 
 def save_sharded(A: "DistMatrix", directory) -> None:
@@ -611,8 +674,10 @@ def dist_mxv_2d(A: DistMatrix2D, x, sr: Semiring = SR.PLUS_TIMES,
         in_specs=(P(axr, axc),) * 5, out_specs=P(axr, axc),
         check_vma=False)
     def step(ipb, ixb, vlb, nzb, xb):
+        i = jax.lax.axis_index(axr)
+        j = jax.lax.axis_index(axc)
         y = _local_spmv(ipb[0, 0], ixb[0, 0], vlb[0, 0], nzb[0, 0],
-                        xb[0, 0], sr, zt)
+                        xb[0, 0], sr, zt, row0=i * A.rb, col0=j * A.cb)
         full = _combine_axis(y, axc, add_name)          # reduce over cols
         return full[None, None]
 

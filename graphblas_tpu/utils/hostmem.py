@@ -27,8 +27,12 @@ def tune() -> bool:
     try:
         libc = ctypes.CDLL("libc.so.6")
         # glibc mallopt param codes: M_TRIM_THRESHOLD=-1, M_TOP_PAD=-2,
-        # M_MMAP_THRESHOLD=-3
-        libc.mallopt(-3, 1 << 30)    # large allocs via heap, not mmap
+        # M_MMAP_THRESHOLD=-3.  Threshold at 512 MB: the plan builder's
+        # typical temps (tens-to-hundreds of MB) reuse resident heap
+        # pages, while GB-scale temps still go through mmap and RETURN on
+        # free — an untrimmed heap accumulates every distinct temp size
+        # and OOM-killed a GAP-scale plan build at 130 GB RSS.
+        libc.mallopt(-3, 512 << 20)  # mid-size allocs via heap, not mmap
         libc.mallopt(-1, 1 << 30)    # never trim the heap back
         libc.mallopt(-2, 64 << 20)   # grow the heap in big steps
         _done = True

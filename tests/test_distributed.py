@@ -206,3 +206,83 @@ def test_dist_mxv_2d_minplus(rng):
                     np.inf)
     # rows with no entries reduce to +inf identity in both
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_dist_mxv_mask_accum(rng, mesh):
+    S = random_graph(rng, 100)
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    x = rng.standard_normal(100)
+    c = rng.standard_normal(100)
+    m = rng.random(100) < 0.5
+    from graphblas_tpu.core import ops as OPS
+    got = np.asarray(par.dist_mxv(D, x, mask=m, accum=OPS.PLUS, c=c))
+    want = np.where(m, c + S @ x, c)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+    # complemented mask, no accum
+    got2 = np.asarray(par.dist_mxv(D, x, mask=m, c=c, mask_complement=True))
+    want2 = np.where(~m, S @ x, c)
+    np.testing.assert_allclose(got2, want2, rtol=1e-10)
+
+
+def test_dist_vxm_mask_accum(rng, mesh):
+    S = random_graph(rng, 90)
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    x = rng.standard_normal(90)
+    c = rng.standard_normal(90)
+    m = rng.random(90) < 0.4
+    from graphblas_tpu.core import ops as OPS
+    got = np.asarray(par.dist_vxm(D, x, mask=m, accum=OPS.PLUS, c=c))
+    want = np.where(m, c + S.T @ x, c)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_dist_positional_firsti(rng, mesh):
+    """FIRSTI over min monoid: y[i] = min over present k of i (= i when the
+    row is nonempty) — checks the global row offset is applied."""
+    S = random_graph(rng, 80)
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    x = np.ones(80)
+    from graphblas_tpu.core import names as N
+    srp = N.lookup("GxB_MIN_FIRSTI_INT32")
+    got = np.asarray(par.dist_mxv(D, x, sr=srp, out_dtype=np.int32))
+    rows_nonempty = np.diff(S.indptr) > 0
+    want = np.where(rows_nonempty, np.arange(80), np.iinfo(np.int32).max)
+    np.testing.assert_array_equal(got[rows_nonempty],
+                                  want[rows_nonempty])
+
+
+def test_dist_bfs_sparse_frontier_matches(rng, mesh):
+    S = random_graph(rng, 150, avg_deg=3)
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    dense = np.asarray(par.dist_bfs_levels(D, 0, frontier_cap=1))
+    # frontier_cap=1 forces the dense fallback nearly always; a large cap
+    # keeps every level on the compressed path — results must agree
+    sparse = np.asarray(par.dist_bfs_levels(D, 0, frontier_cap=4096))
+    np.testing.assert_array_equal(dense, sparse)
+
+
+def test_dist_mxm_device_resident(rng, mesh):
+    """dist_mxm output stays sharded (no host assembly): check the CSR
+    shards directly against scipy."""
+    import scipy.sparse as sps
+    n = 64
+    A = sps.random(n, n, density=0.08, random_state=np.random.RandomState(3),
+                   format="csr", dtype=np.float64)
+    DA = par.DistMatrix.from_matrix(gb.Matrix.from_scipy(A), mesh)
+    DC = par.dist_mxm(DA, DA)
+    want = (A @ A).toarray()
+    got = np.zeros((n, n))
+    ip = np.asarray(DC.indptr)
+    ix = np.asarray(DC.indices)
+    vl = np.asarray(DC.values)
+    nz = np.asarray(DC.nnz)
+    for d in range(DC.ndev):
+        r0 = d * DC.rows_per
+        cnt = int(nz[d])
+        rows = np.repeat(np.arange(ip.shape[1] - 1), np.diff(ip[d]))
+        got[r0 + rows[:cnt], ix[d, :cnt]] = vl[d, :cnt]
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
