@@ -37,6 +37,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import static_route as SRT
 
+
+def _dbg(stage):
+    import os
+    if os.environ.get("GB_PLAN_DEBUG"):
+        rss = 0
+        try:
+            with open("/proc/self/status") as f:
+                for ln in f:
+                    if ln.startswith("VmRSS"):
+                        rss = int(ln.split()[1]) // 1024
+        except Exception:
+            pass
+        print(f"[plan] {stage}  rss={rss}MB", flush=True)
+
+
 WIN = 16384           # x window (128 sublanes x 128 lanes after transpose)
 
 
@@ -111,8 +126,13 @@ class GatherPlan:
             ch_col = np.repeat(hub_cols, nchunks)
             ch_in_col = (np.arange(total_chunks, dtype=np.int64)
                          - np.repeat(chunk_base[:-1], nchunks))
-            ch_sz = np.minimum(np.repeat(hcnt, nchunks)
-                               - cap * ch_in_col, cap)
+            # entries round-robin across the column's chunks (below), so
+            # chunk k of a column holds floor/ceil(cnt/nchunks) entries
+            # drawn uniformly from the column's ROW RANGE — row-ordered
+            # chunking concentrated whole chunks into single destination
+            # tiles and defeated the bucket leveling
+            ch_sz = (np.repeat(hcnt // nchunks, nchunks)
+                     + (ch_in_col < np.repeat(hcnt % nchunks, nchunks)))
             # next-fit decreasing pack: chunks -> virtual classes
             order_c = np.argsort(-ch_sz, kind="stable")
             cls_of = np.empty(total_chunks, np.int64)
@@ -133,7 +153,7 @@ class GatherPlan:
             hcol_id = np.searchsorted(hub_cols, ci[ishub])
             r_in_col, _ = NV.rank_by_key(hcol_id, hub_cols.size)
             r_in_col = r_in_col.astype(np.int64)
-            j = chunk_base[hcol_id] + r_in_col // cap    # global chunk id
+            j = chunk_base[hcol_id] + r_in_col % nchunks[hcol_id]
             w[ishub] = W + cls_of[j] // 128
             res[ishub] = cls_of[j] % 128
             hi[ishub] = lane_of[j]
@@ -143,6 +163,7 @@ class GatherPlan:
                    + lane_of] = ch_col.astype(np.int32)
         # rows cycle through residues: entry with residue r in window w
         # goes to packed row w*RBL + (k*128 + r) for its k-th slot
+        _dbg("gather: hub done")
         key = w * 128 + res
         slot, counts = NV.rank_by_key(key, (W + Wv) * 128)
         slot = slot.astype(np.int64)
@@ -177,8 +198,10 @@ class GatherPlan:
         val_arr = np.zeros(W * RBL * 128, np.float32)
         hi_arr[pos] = hi.astype(np.int8)
         val_arr[pos] = vv
+        _dbg("gather: finalize scatters done")
         self.hi = jnp.asarray(hi_arr.reshape(W * RBL, 128))
         self.val = jnp.asarray(val_arr.reshape(W * RBL, 128))
+        _dbg("gather: device upload done")
         self.RBL = RBL
         self.pos = pos                      # host-side, for the route plan
         self._tmp = None
@@ -441,13 +464,17 @@ class SpmvRoutePlan:
         perm[dst_slot] = gs.pos
         used = np.zeros(N_dst, bool)
         used[gs.pos] = True
+        _dbg("perm scatter done")
         perm = _fill_balanced(perm, used, T, slots)
+        _dbg("fill_balanced done")
         self.gp = SRT.GlobalPermutePlan(perm, N_dst, tile_r=TR)
+        _dbg("global permute plan done")
         # selection pack per dest tile: the sentinel slot of tile-row p
         # (the cumsum through that row) is delivered to raster position p
         # by a monotone concentrator — plan is pure rank arithmetic
         sent_slot = (row_off + cpad).reshape(T, Y_T)         # within tile
         lidx, bitsU, bitsD = SRT.monotone_pack_plan(sent_slot, TR)
+        _dbg("sel pack done")
         self.sel_lidx = jnp.asarray(lidx)
         self.sel_bitsU = jnp.asarray(bitsU)
         self.sel_bitsD = jnp.asarray(bitsD)

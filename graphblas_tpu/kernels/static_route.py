@@ -443,13 +443,16 @@ class GlobalPermutePlan:
         p_cat = s_tile * (rows_pp * 128) + slot
         p_out = np.tile(np.arange(tile_elems, dtype=np.int64), T)
 
+        from ..kernels.spmv_route import _dbg
         if NV.available():
             # native whole-tile router: partial perms (-1 = free dst)
             # completed and routed per tile in one cache-local C++ pass
             M1 = R1 * 128
             perm1 = np.full(T * M1, -1, np.int32)
             perm1[s_tile * M1 + p_mid] = p_in.astype(np.int32)
+            _dbg("gp: perm1 scatter done")
             res = NV.clos_route_tiles(perm1.reshape(T, M1), R1)
+            _dbg("gp: clos1 done")
         else:
             res = None
         if res is not None:
@@ -460,7 +463,9 @@ class GlobalPermutePlan:
             self.io1 = jnp.asarray(io)
             perm2 = np.full(T * M1, -1, np.int32)
             perm2[d_tile * M1 + p_out] = p_cat.astype(np.int32)
+            _dbg("gp: perm2 scatter done")
             ii, bits, io = NV.clos_route_tiles(perm2.reshape(T, M1), R2)
+            _dbg("gp: clos2 done")
             self.ii2 = jnp.asarray(ii)
             self.dists2 = self.dists1
             self.bits2 = jnp.asarray(bits)
