@@ -24,7 +24,20 @@ print(f"csr built {time.perf_counter()-t0:.0f}s nnz={S.nnz/1e6:.1f}M "
       f"colmax={np.bincount(S.indices).max()} "
       f"rowmax={np.diff(S.indptr).max()}", flush=True)
 t0 = time.perf_counter()
-plan = SPR.SpmvRoutePlan(S.indptr, S.indices, S.data, (n, n))
+cache = f"/tmp/skew_plan_{n}_{deg}.npz"
+import os
+plan = None
+if os.path.exists(cache):
+    try:
+        plan = SPR.load_plan(cache)
+    except Exception:
+        plan = None
+if plan is None:
+    plan = SPR.SpmvRoutePlan(S.indptr, S.indices, S.data, (n, n))
+    try:
+        SPR.save_plan(plan, cache)
+    except Exception:
+        pass
 print(f"plan: {time.perf_counter()-t0:.0f}s T={plan.gp.T} "
       f"rows_pp={plan.gp.rows_pp} R1={plan.gp.R1} Wv={plan.g.Wv} "
       f"m_sub-m={plan.m_sub-plan.m} "

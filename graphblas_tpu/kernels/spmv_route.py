@@ -700,7 +700,7 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
     k1 = functools.partial(SRT._phase_kernel, dists=gp.dists1, R=R1,
                            rows_in=TR, rows_out=T2 * rows_pp)
     cp = (None if interpret else
-          pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
+          pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024))
     phase1 = pl.pallas_call(
         k1,
         grid=(T2,),

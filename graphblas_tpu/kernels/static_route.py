@@ -542,7 +542,7 @@ def global_permute(x, plan: GlobalPermutePlan, *, interpret=False):
         out_shape=jax.ShapeDtypeStruct((T * T * rows_pp, 128), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )
     k2 = functools.partial(_phase_kernel, dists=plan.dists2, R=R2,
                            rows_in=T * rows_pp, rows_out=TR)
@@ -574,7 +574,7 @@ def global_permute(x, plan: GlobalPermutePlan, *, interpret=False):
         out_shape=jax.ShapeDtypeStruct((T * TR, 128), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
     )
     with jax.enable_x64(False):
         mid = stage(xp, plan.ii1, plan.bits1, plan.io1)
