@@ -140,6 +140,63 @@ def _bfs_fused_kernel(indptr, indices, source, n):
     return levels
 
 
+@functools.lru_cache(maxsize=16)
+def _routed_bfs_fn(n: int):
+    """Jitted BFS runner over a routed pattern plan, cached per n."""
+    from ..kernels import spmv_route as SPRT
+
+    @jax.jit
+    def run(src, pln):
+        levels0 = jnp.full((n,), jnp.int32(-1)).at[src].set(0)
+        f0 = jnp.zeros((n,), jnp.float32).at[src].set(1.0)
+
+        def cond(state):
+            _, f, _ = state
+            return jnp.any(f > 0)
+
+        def body(state):
+            levels, f, depth = state
+            nxt = (SPRT.spmv_route(f, pln) > 0) & (levels < 0)
+            levels = jnp.where(nxt, depth + 1, levels)
+            return levels, nxt.astype(jnp.float32), depth + 1
+
+        levels, _, _ = jax.lax.while_loop(
+            cond, body, (levels0, f0, jnp.int32(0)))
+        return levels
+
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def _routed_pr_fn(n: int, damping: float, tol: float, max_iter: int):
+    """Jitted PageRank runner over a routed pattern plan, cached per
+    (n, damping, tol, max_iter)."""
+    from ..kernels import spmv_route as SPRT
+
+    @jax.jit
+    def run(pln, deg_arr):
+        r0 = jnp.full((n,), 1.0 / n, jnp.float32)
+        teleport = jnp.float32((1.0 - damping) / n)
+        sdeg = jnp.where(deg_arr > 0, deg_arr, 1.0)
+
+        def body(state):
+            r, it, delta = state
+            w = r / sdeg
+            rn = SPRT.spmv_route(w, pln)
+            dangling = jnp.sum(jnp.where(deg_arr > 0, 0.0, r))
+            rn = jnp.float32(damping) * (rn + dangling / n) + teleport
+            return rn, it + 1, jnp.sum(jnp.abs(rn - r))
+
+        def cond(state):
+            _, it, delta = state
+            return (it < max_iter) & (delta > tol)
+
+        return jax.lax.while_loop(
+            cond, body, (r0, jnp.int32(0), jnp.float32(np.inf)))
+
+    return run
+
+
 def bfs_levels_fused(A: Matrix, source: int, optimize=False):
     """One compiled while_loop; dense bool frontier (iso-bool frontier
     analog — SURVEY.md §7 'BFS frontiers are iso-bool').  With a routing
@@ -149,30 +206,11 @@ def bfs_levels_fused(A: Matrix, source: int, optimize=False):
     At = A.to_format(SPARSE, COL)
     plan = _pattern_route_plan(At, build=optimize)
     if plan is not None:
-        from ..kernels import spmv_route as SPRT
-
-        @jax.jit
-        def run(src, pln):
-            levels0 = jnp.full((A.nrows,), jnp.int32(-1)).at[src].set(0)
-            f0 = jnp.zeros((A.nrows,), jnp.float32).at[src].set(1.0)
-
-            def cond(state):
-                _, f, _ = state
-                return jnp.any(f > 0)
-
-            def body(state):
-                levels, f, depth = state
-                nxt = (SPRT.spmv_route(f, pln) > 0) & (levels < 0)
-                levels = jnp.where(nxt, depth + 1, levels)
-                return levels, nxt.astype(jnp.float32), depth + 1
-
-            levels, _, _ = jax.lax.while_loop(
-                cond, body, (levels0, f0, jnp.int32(0)))
-            return levels
-
         # the plan rides in as a pytree ARGUMENT (not a baked constant:
-        # bench-scale plans blow the remote-compile payload limit)
-        return run(jnp.int32(source), plan)
+        # bench-scale plans blow the remote-compile payload limit); the
+        # jitted runner is cached per n so repeat calls reuse the compiled
+        # executable instead of re-tracing a fresh closure
+        return _routed_bfs_fn(A.nrows)(jnp.int32(source), plan)
     Ar = A.to_format(SPARSE, ROW)
     return _bfs_fused_kernel(Ar.indptr, Ar.indices, jnp.int32(source),
                              A.nrows)
@@ -245,30 +283,8 @@ def pagerank_fused(A: Matrix, damping=0.85, tol=1e-6, max_iter=100,
     At = A.to_format(SPARSE, COL)  # A in CSC == A' in CSR
     plan = _pattern_route_plan(At, build=optimize)
     if plan is not None:
-        from ..kernels import spmv_route as SPRT
-        n = A.nrows
-
-        @jax.jit
-        def run(pln, deg_arr):
-            r0 = jnp.full((n,), 1.0 / n, jnp.float32)
-            teleport = jnp.float32((1.0 - damping) / n)
-            sdeg = jnp.where(deg_arr > 0, deg_arr, 1.0)
-
-            def body(state):
-                r, it, delta = state
-                w = r / sdeg
-                rn = SPRT.spmv_route(w, pln)
-                dangling = jnp.sum(jnp.where(deg_arr > 0, 0.0, r))
-                rn = jnp.float32(damping) * (rn + dangling / n) + teleport
-                return rn, it + 1, jnp.sum(jnp.abs(rn - r))
-
-            def cond(state):
-                _, it, delta = state
-                return (it < max_iter) & (delta > tol)
-
-            return jax.lax.while_loop(
-                cond, body, (r0, jnp.int32(0), jnp.float32(np.inf)))
-
+        run = _routed_pr_fn(A.nrows, float(damping), float(tol),
+                            int(max_iter))
         r, iters, _ = run(plan, outdeg)
         return r, iters
     return _pagerank_fused_kernel(At.indptr, At.indices, outdeg, A.nrows,

@@ -1,0 +1,181 @@
+"""In-VMEM per-row bitonic sort + segmented monoid reduce — the SpGEMM
+"shared hash table" replacement (reference: the saxpy3 fine-task hash/
+Gustavson accumulators, Source/GB_AxB_saxpy3_template.c:108-484).
+
+The ESC SpGEMM expands products row-contiguously; grouping duplicates only
+ever needs to sort WITHIN one output row.  A global argsort of F 64-bit
+keys (XLA bitonic over HBM) costs hundreds of seconds at F~2^28; this
+kernel instead pads each row's product run to a power-of-two capacity C,
+lays the runs out C-aligned in a (S, 128) VMEM-tiled array, and runs a
+classic bitonic network over each run with pltpu.roll compare-exchange
+passes (~680 Ge/s per pass on v5e), then a segmented inclusive scan under
+the add monoid and a run-end extraction — all in one Pallas kernel, no
+data-dependent control flow.
+
+Layout contract: flat slot p holds (key, val) of row r = p // C at
+in-row position posC = p & (C-1); rows never straddle the C-aligned
+blocks, so every roll distance d < C stays inside one row's run and the
+XOR-partner selection masks are pure iota arithmetic (no plan data).
+
+Keys are int32 (the column index j; j < 2^31 always since dimensions are
+int32).  Pad slots carry key = SENTINEL (sorts last) and val = monoid
+identity.  Output: okeys has the unique key at each run's LAST slot and
+SENTINEL elsewhere; ovals has the monoid-combined run total there.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SENTINEL = np.int32(2**31 - 1)
+
+# per-row capacity classes (pow2; x4 steps keep compile variants few and
+# mean padding ~1.6x); rows with more products fall back to XLA argsort
+CAPS = (128, 512, 2048, 8192, 32768)
+
+
+def _flat_shift(x, s, SB):
+    """x shifted DOWN by s flat slots (result[p] = x[p - s]) over the
+    (SB, 128) raster; s < 128 or a multiple of 128."""
+    if s >= 128:
+        return pltpu.roll(x, s // 128, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    lr = pltpu.roll(x, s, 1)            # within-sublane lane shift
+    sr = pltpu.roll(lr, 1, 0)           # previous sublane for wrapped lanes
+    return jnp.where(lane < s, sr, lr)
+
+
+def _xor_partner(x, d, SB):
+    """x at the XOR partner: result[p] = x[p ^ d]; d a power of two."""
+    if d < 128:
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        up = pltpu.roll(x, 128 - d, 1)  # x[p + d] (within sublane)
+        dn = pltpu.roll(x, d, 1)        # x[p - d]
+        return jnp.where((lane & d) == 0, up, dn)
+    ds = d // 128
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    up = pltpu.roll(x, SB - ds, 0)      # x[p + d]
+    dn = pltpu.roll(x, ds, 0)           # x[p - d]
+    return jnp.where((sub & ds) == 0, up, dn)
+
+
+def _posC(shape, C):
+    sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return ((sub * 128) + lane) & (C - 1)
+
+
+def _sort_reduce_body(kx, vx, C, SB, add_fn):
+    posC = _posC(kx.shape, C)
+    # ---- bitonic sort (ascending per C-run) -------------------------------
+    logC = C.bit_length() - 1
+    for k in range(1, logC + 1):
+        asc = (posC & (1 << k)) == 0 if k < logC else \
+            jnp.ones(kx.shape, jnp.bool_)
+        for d in (1 << j for j in range(k - 1, -1, -1)):
+            pk = _xor_partner(kx, d, SB)
+            pv = _xor_partner(vx, d, SB)
+            lower = (posC & d) == 0
+            take_min = asc == lower
+            swap = jnp.where(take_min, pk < kx, pk > kx)
+            kx = jnp.where(swap, pk, kx)
+            vx = jnp.where(swap, pv, vx)
+    # ---- segmented inclusive scan over duplicate runs ---------------------
+    prev_k = _flat_shift(kx, 1, SB)
+    flag = (posC == 0) | (kx != prev_k)
+    v = vx
+    f = flag
+    s = 1
+    while s < C:
+        v_in = _flat_shift(v, s, SB)
+        f_in = _flat_shift(f, s, SB)
+        beyond = posC < s
+        v = jnp.where(f | beyond, v, add_fn(v_in, v))
+        f = f | f_in | beyond
+        s *= 2
+    # ---- run-end extraction ----------------------------------------------
+    # next element (p + 1) via the inverse flat shift: roll up by 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, kx.shape, 1)
+    lu = pltpu.roll(kx, 127, 1)
+    su = pltpu.roll(lu, SB - 1, 0)
+    next_k = jnp.where(lane == 127, su, lu)
+    run_end = (posC == C - 1) | (kx != next_k)
+    okeys = jnp.where(run_end & (kx != SENTINEL), kx,
+                      jnp.full(kx.shape, SENTINEL, jnp.int32))
+    return okeys, v
+
+
+@functools.lru_cache(maxsize=64)
+def _kernel_fn(C, SB, monoid, val_dtype_name, logical, interpret):
+    """Compiled sort-reduce over (S, 128) arrays, blocked SB sublanes at a
+    time.  ``monoid`` is the (frozen, hashable) Monoid object; ``logical``
+    marks bool semantics carried in int32 lanes."""
+    raw = monoid.op
+
+    if logical:
+        def add_fn(a, b):
+            return raw(a.astype(jnp.bool_),
+                       b.astype(jnp.bool_)).astype(jnp.int32)
+    else:
+        def add_fn(a, b):
+            return raw(a, b)
+
+    def kernel(k_ref, v_ref, ok_ref, ov_ref):
+        ok, ov = _sort_reduce_body(k_ref[:], v_ref[:], C, SB, add_fn)
+        ok_ref[:] = ok
+        ov_ref[:] = ov
+
+    grid_blk = pl.BlockSpec((SB, 128), lambda i: (i, 0))
+    vdt = jnp.dtype(val_dtype_name)
+
+    def run(keys, vals):
+        S = keys.shape[0]
+        nblk = S // SB
+        f = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[grid_blk, grid_blk],
+            out_specs=[grid_blk, grid_blk],
+            out_shape=[jax.ShapeDtypeStruct((S, 128), jnp.int32),
+                       jax.ShapeDtypeStruct((S, 128), vdt)],
+            interpret=bool(interpret))
+        with jax.enable_x64(False):
+            return f(keys, vals)
+
+    return jax.jit(run)
+
+
+def sort_reduce_rows(keys, vals, C, monoid, *, logical=False,
+                     interpret=False):
+    """Sort each C-aligned run of ``keys`` ascending (carrying ``vals``),
+    combine equal-key runs under the add monoid, and return (okeys, ovals):
+    unique keys at run-end slots (SENTINEL elsewhere) and their combined
+    values.
+
+    keys: (S, 128) int32 with S * 128 a multiple of C; vals: (S, 128) of
+    an int32/float32-class dtype (bool semantics via ``logical=True``).
+    S is padded to the kernel's block multiple internally.
+    """
+    C = int(C)
+    S = keys.shape[0]
+    row_sub = max(C // 128, 1)
+    # ~512-sublane blocks (256 KB per f32 operand), at least one row
+    SB = row_sub * max(1, 512 // row_sub)
+    pad = (-S) % SB
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jnp.full((pad, 128), SENTINEL, jnp.int32)])
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((pad, 128), vals.dtype)])
+    fn = _kernel_fn(C, SB, monoid, np.dtype(vals.dtype).name,
+                    bool(logical), bool(interpret))
+    ok, ov = fn(keys, vals)
+    if pad:
+        ok, ov = ok[:S], ov[:S]
+    return ok, ov
