@@ -28,6 +28,7 @@ log^2) numpy time (the reference analog: building a hypersparse format).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -580,8 +581,25 @@ _GP_ARRAYS = ("ii1", "bits1", "io1", "ii2", "bits2", "io2")
 
 
 def save_plan(plan: "SpmvRoutePlan", path):
-    """Serialize a route plan to an .npz file so plan build amortizes
-    across runs (VERDICT r1 #9: the plan is a storage format)."""
+    """Serialize a route plan so plan build amortizes across runs
+    (VERDICT r1 #9: the plan is a storage format).
+
+    Layout: a DIRECTORY of raw .npy files (one per array).  Loading uses
+    np.load(mmap_mode="r"): plan pages are file-backed, so the load costs
+    page-cache reads instead of anonymous first-touch faults — on this
+    VM's slow-fault kernel that's the difference between ~2 s and ~190 s
+    for a bench-scale plan.  The directory keeps the exact given name
+    (even a trailing .npz) so callers' os.path.exists checks keep
+    working.  A legacy single-file .npz is still readable."""
+    blob = _plan_blob(plan)
+    if os.path.isfile(path):
+        os.remove(path)
+    os.makedirs(path, exist_ok=True)
+    for k, v in blob.items():
+        np.save(os.path.join(path, k + ".npy"), v)
+
+
+def _plan_blob(plan):
     blob = {}
     for k in _PLAN_SCALARS:
         blob["p_" + k] = np.int64(getattr(plan, k))
@@ -602,11 +620,24 @@ def save_plan(plan: "SpmvRoutePlan", path):
     blob["extra_owner"] = (np.asarray(plan.extra_owner)
                            if plan.extra_owner is not None
                            else np.zeros(0, np.int32))
-    np.savez(path, **blob)
+    return blob
+
+
+class _DirBlob:
+    """dict-like view over a directory of .npy files, loaded mmap'd."""
+
+    def __init__(self, d):
+        self._d = d
+
+    def __getitem__(self, k):
+        return np.load(os.path.join(self._d, k + ".npy"), mmap_mode="r")
 
 
 def load_plan(path) -> "SpmvRoutePlan":
-    z = np.load(path)
+    if os.path.isdir(path):
+        z = _DirBlob(path)
+    else:
+        z = np.load(path)
     plan = object.__new__(SpmvRoutePlan)
     for k in _PLAN_SCALARS:
         setattr(plan, k, int(z["p_" + k]))
