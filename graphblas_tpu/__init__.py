@@ -18,6 +18,21 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# Route large numpy allocations through mmap + MADV_HUGEPAGE: this host
+# faults anonymous 4 KB pages ~6x slower than huge pages (measured ~0.3
+# vs ~1.8+ GB/s), and the route-plan builders are fault-bound without it.
+# (reference analog: GxB_init's user-supplied malloc table,
+# Source/GB_Global.c:83-180)
+import os as _os
+
+if not _os.environ.get("GB_NO_HUGEPAGE_ALLOC"):
+    try:
+        from .utils import _hostmem as _hm
+
+        _hm.install()
+    except Exception:  # pragma: no cover - optional native speedup
+        pass
+
 from .core import config as _cfg
 from .core import context as context
 from .core import descriptor, errors, monoid, semiring, types

@@ -39,8 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 from . import static_route as SRT
 
 
+_dbg_t = [None]
+
+
 def _dbg(stage):
     import os
+    import time as _time
     if os.environ.get("GB_PLAN_DEBUG"):
         rss = 0
         try:
@@ -50,7 +54,10 @@ def _dbg(stage):
                         rss = int(ln.split()[1]) // 1024
         except Exception:
             pass
-        print(f"[plan] {stage}  rss={rss}MB", flush=True)
+        now = _time.perf_counter()
+        dt = 0.0 if _dbg_t[0] is None else now - _dbg_t[0]
+        _dbg_t[0] = now
+        print(f"[plan] {stage}  rss={rss}MB  +{dt:.2f}s", flush=True)
 
 
 WIN = 16384           # x window (128 sublanes x 128 lanes after transpose)

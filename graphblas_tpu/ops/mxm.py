@@ -467,7 +467,8 @@ def _spgemm_esc(A, B, sr, zt, mask, desc, accum,
     if F == 0:
         return Matrix((m, n), zt, SPARSE, ROW)
     a_rows = K.expand_rowids(Ar.indptr, nnzA, m)
-    fast = _spgemm_fast_eligible(sr, zt)
+    from . import spgemm_fast as SGF
+    fast = SGF.eligible(sr, zt)
     # off-TPU the kernel runs in (slow) interpret mode — spec-test scale only
     interp = jax.default_backend() not in ("tpu", "axon")
     if interp and F > (1 << 20):
@@ -487,8 +488,34 @@ def _spgemm_esc(A, B, sr, zt, mask, desc, accum,
     row_cum = cumf_h[ip_h]                   # cumulative flops at row starts
     if fast:
         CFG.burble("spgemm: fast sort-reduce tier, %d flops", F)
-        return _spgemm_esc_fast(Ar, Br, cumf, ip_h, row_cum, F, sr, zt,
-                                m, n, mask, desc, a_rows, interp)
+
+        def classic_block(fb, r0):
+            """Over-cap rows via the classic argsort ESC (fb: local row
+            ids within [r0, r1))."""
+            rows_fb = fb + r0
+            p_parts = [np.arange(row_cum[r], row_cum[r + 1])
+                       for r in rows_fb]
+            p_fb = jnp.asarray(np.concatenate(p_parts))
+            keys, prod = _spgemm_expand_at(Ar, Br, a_rows, cumf, p_fb,
+                                           sr, zt, n)
+            if mask is not None and mask.fmt in (SPARSE, HYPER):
+                eff = mask_bits_at_keys(mask, keys, n, ROW, desc)
+                _, (keys, prod) = K.compact(eff, keys, prod)
+            order = jnp.argsort(keys, stable=False)
+            skeys = keys[order]
+            sprod = prod[order]
+            gid, ng = K.group_ids(skeys)
+            cv = K.segment_reduce(sprod, gid, ng, sr.add)
+            ukeys = jnp.zeros((ng,), skeys.dtype).at[gid].set(skeys)
+            uvec, uidx = K.key_split(ukeys, n)
+            rows_fb_d = jnp.asarray(rows_fb.astype(np.int64))
+            rowidx = jnp.searchsorted(rows_fb_d, uvec).astype(jnp.int64)
+            counts_fb = jnp.zeros((fb.size,), jnp.int64).at[rowidx].add(1)
+            return (uvec.astype(jnp.int64), uidx, cv, counts_fb)
+
+        return SGF.spgemm_esc_fast(Ar, Br, cumf, ip_h, row_cum, F, sr,
+                                   zt, m, n, mask, desc, interp,
+                                   classic_block, SPGEMM_FLOP_BLOCK)
     starts = [0]
     while starts[-1] < m:
         r0 = starts[-1]
@@ -520,34 +547,6 @@ def _spgemm_esc(A, B, sr, zt, mask, desc, accum,
                   indptr=jnp.asarray(indptr.astype(INDEX)), indices=uidx,
                   values=cv)
 
-
-def _spgemm_esc_fast(Ar, Br, cumf, ip_h, row_cum_h, F, sr, zt, m, n, mask,
-                     desc, a_rows, interpret=False):
-    """Row-block-tiled driver over the sort-reduce fast tier (peak padded
-    memory O(SPGEMM_FLOP_BLOCK) like the classic tier)."""
-    starts = [0]
-    while starts[-1] < m:
-        r0 = starts[-1]
-        r1 = int(np.searchsorted(row_cum_h, row_cum_h[r0]
-                                 + SPGEMM_FLOP_BLOCK, side="right")) - 1
-        starts.append(max(r1, r0 + 1))
-    CFG.burble("spgemm-fast: %d row blocks", len(starts) - 1)
-    ips, idxs, cvs = [], [], []
-    for r0, r1 in zip(starts[:-1], starts[1:]):
-        indptr_b, uidx, cv = _spgemm_block_fast(
-            Ar, Br, cumf, ip_h, row_cum_h, r0, r1, sr, zt, n, mask, desc,
-            a_rows, interpret=interpret)
-        ips.append(np.diff(np.asarray(indptr_b)))
-        idxs.append(uidx)
-        cvs.append(cv)
-    counts = np.concatenate(ips) if len(ips) > 1 else ips[0]
-    indptr = np.zeros(m + 1, np.int64)
-    np.cumsum(counts, out=indptr[1:])
-    uidx = jnp.concatenate(idxs) if len(idxs) > 1 else idxs[0]
-    cv = jnp.concatenate(cvs) if len(cvs) > 1 else cvs[0]
-    return Matrix((m, n), zt, SPARSE, ROW,
-                  indptr=jnp.asarray(indptr.astype(INDEX)), indices=uidx,
-                  values=cv)
 
 
 def _next_pow2_i(x):
@@ -596,169 +595,6 @@ def _spgemm_block(Ar, Br, a_rows, cumf, f0, Fb, sr, zt, m, n, mask, desc,
     indptr = K.indptr_from_sorted(uvec, row_hi - row_lo, INDEX)
     return indptr, uidx, cv
 
-
-# ---------------------------------------------------------------------------
-# fast ESC tier: per-row bitonic sort-reduce in VMEM (kernels/sortreduce.py)
-# ---------------------------------------------------------------------------
-
-# value dtypes the sort-reduce kernel carries natively; small ints widen to
-# int32 (PLUS/TIMES wrap identically mod 2^k after the final narrowing cast,
-# MIN/MAX/bitwise are exact in the wider type)
-_SRD_KDT = {
-    np.dtype(np.bool_): (np.int32, True),
-    np.dtype(np.int8): (np.int32, False),
-    np.dtype(np.uint8): (np.int32, False),
-    np.dtype(np.int16): (np.int32, False),
-    np.dtype(np.uint16): (np.int32, False),
-    np.dtype(np.int32): (np.int32, False),
-    np.dtype(np.float32): (np.float32, False),
-}
-
-
-def _spgemm_fast_eligible(sr, zt):
-    from ..core import config as _cfg
-    if not _cfg.GLOBAL.pallas_enabled:
-        return False
-    if sr.mult.positional:
-        return False
-    if getattr(zt, "shape", None):          # user struct types
-        return False
-    return np.dtype(zt.np_dtype) in _SRD_KDT
-
-
-def _spgemm_block_fast(Ar, Br, cumf, ip_h, row_cum_h, r0, r1, sr, zt, n,
-                       mask, desc, a_rows, interpret=False):
-    """ESC block over rows [r0, r1) with the in-VMEM per-row bitonic
-    sort-reduce kernel: rows are bucketed by flop class, each class's
-    products expanded directly into a C-padded (rows, C) layout (binary
-    search narrowed to the row's A entries), sorted+combined on chip, and
-    the per-class unique streams scattered into row order.
-
-    Replaces the global 64-bit-key argsort (reference analog: the saxpy3
-    Gustavson/hash accumulators, Source/GB_AxB_saxpy3_template.c).
-    Returns (indptr_slice, indices, values)."""
-    from ..kernels import sortreduce as SRD
-    kdt_np, logical = _SRD_KDT[np.dtype(zt.np_dtype)]
-    kdt = jnp.dtype(kdt_np)
-    nb = r1 - r0
-    flops_r = row_cum_h[r0 + 1:r1 + 1] - row_cum_h[r0:r1]
-    deg_r = ip_h[r0 + 1:r1 + 1] - ip_h[r0:r1]
-    cls = np.searchsorted(np.asarray(SRD.CAPS, np.int64), flops_r)
-    cls[flops_r == 0] = -1
-    mask_sparse = mask is not None and mask.fmt in (SPARSE, HYPER)
-
-    counts_by_row = jnp.zeros((nb,), jnp.int64)
-    streams = []          # (uvec, uidx, cv, rowpos_key) per class
-    nnzB = int(Br.indices.shape[0])
-
-    for ci, C in enumerate(SRD.CAPS):
-        sel = np.flatnonzero(cls == ci)
-        if sel.size == 0:
-            continue
-        rows_c = sel + r0                       # global row ids, ascending
-        Rc = sel.size
-        maxdeg = int(deg_r[sel].max())
-        bsteps = max(1, int(np.ceil(np.log2(max(maxdeg, 2)))))
-        rows_d = jnp.asarray(rows_c.astype(np.int64))
-        fstart = jnp.asarray(row_cum_h[rows_c])          # (Rc,) int64
-        flopc = jnp.asarray(flops_r[sel])                # (Rc,) int64
-
-        posC = jnp.arange(C, dtype=jnp.int64)[None, :]
-        p = fstart[:, None] + posC                       # (Rc, C) global
-        valid = posC < flopc[:, None]
-        # binary search e in [ip[r], ip[r+1}) with cumf[e] <= p
-        lo = jnp.broadcast_to(
-            Ar.indptr[rows_d].astype(jnp.int64)[:, None], p.shape)
-        hi = jnp.broadcast_to(
-            Ar.indptr[rows_d + 1].astype(jnp.int64)[:, None], p.shape)
-        pc = jnp.minimum(p, cumf[-1] - 1)
-        for _ in range(bsteps):
-            mid = (lo + hi) // 2
-            go = cumf[jnp.minimum(mid, Ar.indices.shape[0] - 1)] <= pc
-            big = hi - lo > 1
-            lo = jnp.where(big & go, mid, lo)
-            hi = jnp.where(big & ~go, mid, hi)
-        e = jnp.minimum(lo, Ar.indices.shape[0] - 1)
-        off = jnp.maximum(pc - cumf[e], 0)
-        ka = Ar.indices[e].astype(jnp.int64)
-        b_pos = jnp.minimum(Br.indptr[ka].astype(jnp.int64) + off, nnzB - 1)
-        j = Br.indices[b_pos].astype(jnp.int32)
-        keys = jnp.where(valid, j, SRD.SENTINEL)
-        av = Ar._vals_expanded()[e]
-        bv = Br._vals_expanded()[b_pos]
-        prod = cast(sr.mult.fn(av, bv), zt)
-        if logical:
-            prod = prod.astype(jnp.int32)
-        else:
-            prod = prod.astype(kdt)
-        prod = jnp.where(valid, prod, jnp.zeros((), kdt))
-
-        S = Rc * C // 128
-        ok, ov = SRD.sort_reduce_rows(
-            keys.reshape(S, 128), prod.reshape(S, 128), C, sr.add,
-            logical=logical, interpret=interpret)
-        okf = ok.reshape(-1)
-        ovf = ov.reshape(-1)
-        keep = okf != SRD.SENTINEL
-        slot = jnp.arange(okf.shape[0], dtype=jnp.int32)
-        kept, (jk, vk, sl) = K.compact(keep, okf, ovf, slot)
-        rowidx = (sl // C).astype(jnp.int64)
-        uvec = rows_d[rowidx]
-        if mask_sparse:
-            keys64 = uvec * n + jk.astype(jnp.int64)
-            eff = mask_bits_at_keys(mask, keys64, n, ROW, desc)
-            kept, (jk, vk, rowidx, uvec) = K.compact(
-                eff, jk, vk, rowidx, uvec)
-        counts_c = jnp.zeros((Rc,), jnp.int64).at[rowidx].add(1)
-        counts_by_row = counts_by_row.at[jnp.asarray(rows_c - r0)].set(
-            counts_c)
-        streams.append((uvec, jk, vk, rowidx,
-                        jnp.concatenate([jnp.zeros(1, jnp.int64),
-                                         jnp.cumsum(counts_c)])))
-
-    # fallback rows (flops beyond the top class): classic argsort ESC on
-    # their concatenated product ranges
-    fb = np.flatnonzero(cls == len(SRD.CAPS))
-    if fb.size:
-        rows_fb = fb + r0
-        p_parts = [np.arange(row_cum_h[r], row_cum_h[r + 1])
-                   for r in rows_fb]
-        p_fb = jnp.asarray(np.concatenate(p_parts))
-        keys, prod = _spgemm_expand_at(Ar, Br, a_rows, cumf, p_fb, sr, zt, n)
-        if mask_sparse:
-            eff = mask_bits_at_keys(mask, keys, n, ROW, desc)
-            _, (keys, prod) = K.compact(eff, keys, prod)
-        order = jnp.argsort(keys, stable=False)
-        skeys = keys[order]
-        sprod = prod[order]
-        gid, ng = K.group_ids(skeys)
-        cv = K.segment_reduce(sprod, gid, ng, sr.add)
-        ukeys = jnp.zeros((ng,), skeys.dtype).at[gid].set(skeys)
-        uvec, uidx = K.key_split(ukeys, n)
-        rows_fb_d = jnp.asarray(rows_fb.astype(np.int64))
-        rowidx = jnp.searchsorted(rows_fb_d, uvec).astype(jnp.int64)
-        counts_fb = jnp.zeros((fb.size,), jnp.int64).at[rowidx].add(1)
-        counts_by_row = counts_by_row.at[jnp.asarray(fb)].set(counts_fb)
-        vk = cv.astype(kdt) if not logical else cv.astype(jnp.int32)
-        streams.append((uvec, uidx.astype(jnp.int32), vk, rowidx,
-                        jnp.concatenate([jnp.zeros(1, jnp.int64),
-                                         jnp.cumsum(counts_fb)])))
-
-    indptr = jnp.concatenate([jnp.zeros(1, jnp.int64),
-                              jnp.cumsum(counts_by_row)])
-    nnz_tot = int(indptr[-1])
-    uidx_out = jnp.zeros((nnz_tot,), INDEX)
-    cv_out = jnp.zeros((nnz_tot,), kdt)
-    for uvec, jk, vk, rowidx, cstart in streams:
-        k_in = jnp.arange(jk.shape[0], dtype=jnp.int64)
-        dest = indptr[uvec - r0] + (k_in - cstart[rowidx])
-        uidx_out = uidx_out.at[dest].set(jk.astype(INDEX))
-        cv_out = cv_out.at[dest].set(vk)
-    if logical:
-        cv_out = cv_out.astype(np.bool_)
-    else:
-        cv_out = cast(cv_out, zt)
-    return indptr.astype(INDEX), uidx_out, cv_out
 
 
 def _spgemm_expand_at(Ar, Br, a_rows, cumf, p, sr, zt, n):
