@@ -419,50 +419,43 @@ class GlobalPermutePlan:
         full = np.arange(npad, dtype=np.int64)
         full[: perm.shape[0]] = perm
         src = full                                # out[p] = x[src[p]]
-        s_tile = src // tile_elems
-        d_tile = np.repeat(np.arange(T, dtype=np.int64), tile_elems)
-        key = s_tile * T + d_tile
         from ..utils import native as NV
-        # slot of each element within its (s,d) slab (stable rank)
-        slot, counts = NV.rank_by_key(key, T * T)
-        slot = slot.astype(np.int64)
+        from ..kernels.spmv_route import _dbg
+        counts = NV.gp_counts(src, T, tile_elems)
+        if counts is None:
+            s_tile = src // tile_elems
+            d_tile = np.repeat(np.arange(T, dtype=np.int64), tile_elems)
+            key = s_tile * T + d_tile
+            # slot of each element within its (s,d) slab (stable rank)
+            slot, counts = NV.rank_by_key(key, T * T)
+            slot = slot.astype(np.int64)
+        else:
+            slot = None
         rows_pp = max(-(-int(counts.max()) // 128), 1)
         rows_pp = -(-rows_pp // 8) * 8            # sublane-aligned slabs
         self.T, self.rows_pp = T, rows_pp
         R1 = _next_pow2(max(R, T * rows_pp))
         R2 = R1
         self.R1, self.R2, self.npad = R1, R2, npad
+        M1 = R1 * 128
 
-        # ---- phase-1 per-tile permutations (positions within R1 x 128) --
-        # input position of element e in its source tile:
-        p_in = src % tile_elems
-        # staging position: slab d, then slot
-        p_mid = d_tile * (rows_pp * 128) + slot
-        # ---- phase-2: element e sits (for dst tile d) at concat position
-        #   s_tile(e) * rows_pp * 128 + slot(e)
-        p_cat = s_tile * (rows_pp * 128) + slot
-        p_out = np.tile(np.arange(tile_elems, dtype=np.int64), T)
-
-        from ..kernels.spmv_route import _dbg
-        if NV.available():
-            # native whole-tile router: partial perms (-1 = free dst)
-            # completed and routed per tile in one cache-local C++ pass
-            M1 = R1 * 128
-            perm1 = np.full(T * M1, -1, np.int32)
-            perm1[s_tile * M1 + p_mid] = p_in.astype(np.int32)
+        if slot is None:
+            # native single-sweep builders: each phase's partial perm
+            # (-1 = free dst) comes from one C++ pass over src with no
+            # npad-sized intermediates; only one T*M1 buffer live at a
+            # time (phase-2 is built after phase-1 is consumed)
+            perm1 = NV.gp_scatter(src, T, tile_elems, rows_pp, M1, 1)
             _dbg("gp: perm1 scatter done")
             res = NV.clos_route_tiles(perm1.reshape(T, M1), R1)
             _dbg("gp: clos1 done")
-        else:
-            res = None
-        if res is not None:
+            assert res is not None
             ii, bits, io = res
             self.ii1 = jnp.asarray(ii)
             self.dists1 = tuple(int(d) for d in benes_dists(R1))
             self.bits1 = jnp.asarray(bits)
             self.io1 = jnp.asarray(io)
-            perm2 = np.full(T * M1, -1, np.int32)
-            perm2[d_tile * M1 + p_out] = p_cat.astype(np.int32)
+            del perm1
+            perm2 = NV.gp_scatter(src, T, tile_elems, rows_pp, M1, 2)
             _dbg("gp: perm2 scatter done")
             ii, bits, io = NV.clos_route_tiles(perm2.reshape(T, M1), R2)
             _dbg("gp: clos2 done")
@@ -470,13 +463,23 @@ class GlobalPermutePlan:
             self.dists2 = self.dists1
             self.bits2 = jnp.asarray(bits)
             self.io2 = jnp.asarray(io)
-        else:
-            perm1 = _bijectify(s_tile, p_mid, p_in, T, R1 * 128)
-            (self.ii1, self.dists1, self.bits1,
-             self.io1) = _clos_batch(perm1, R1)
-            perm2 = _bijectify(d_tile, p_out, p_cat, T, R2 * 128)
-            (self.ii2, self.dists2, self.bits2,
-             self.io2) = _clos_batch(perm2, R2)
+            return
+
+        # ---- numpy fallback (no native library) ------------------------
+        # input position of element e in its source tile:
+        p_in = src % tile_elems
+        # staging position: slab d, then slot
+        p_mid = d_tile * (rows_pp * 128) + slot
+        # phase-2: element e sits (for dst tile d) at concat position
+        #   s_tile(e) * rows_pp * 128 + slot(e)
+        p_cat = s_tile * (rows_pp * 128) + slot
+        p_out = np.tile(np.arange(tile_elems, dtype=np.int64), T)
+        perm1 = _bijectify(s_tile, p_mid, p_in, T, R1 * 128)
+        (self.ii1, self.dists1, self.bits1,
+         self.io1) = _clos_batch(perm1, R1)
+        perm2 = _bijectify(d_tile, p_out, p_cat, T, R2 * 128)
+        (self.ii2, self.dists2, self.bits2,
+         self.io2) = _clos_batch(perm2, R2)
 
 
 def _bijectify(tiles, dst_local, src_local, T, M):

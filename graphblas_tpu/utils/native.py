@@ -82,6 +82,17 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int64, ctypes.c_int]
+        if hasattr(lib, "gbtpu_gp_counts"):
+            lib.gbtpu_gp_counts.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.gbtpu_gp_scatter.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
     except Exception:
         _lib = None
@@ -271,6 +282,37 @@ def sort_by_key_i32(keys: np.ndarray, nkeys: int) -> np.ndarray:
     lib.gbtpu_sort_by_key_i32(_ptr(keys, ctypes.c_int32), keys.shape[0],
                               nkeys, _ptr(order, ctypes.c_int64))
     return order
+
+
+def gp_counts(src: np.ndarray, T: int, tile_elems: int):
+    """Per-(s_tile, d_tile) bucket counts for the 2-phase global permute.
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_gp_counts"):
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    counts = np.empty(T * T, np.int64)
+    lib.gbtpu_gp_counts(_ptr(src, ctypes.c_int64), src.shape[0], T,
+                        tile_elems, _ptr(counts, ctypes.c_int64))
+    return counts
+
+
+def gp_scatter(src: np.ndarray, T: int, tile_elems: int, rows_pp: int,
+               M1: int, phase: int):
+    """Build one phase's partial permutation (-1 = free destination) in a
+    single native sweep (replaces ~8 npad-sized numpy intermediates).
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_gp_scatter"):
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    perm = np.empty(T * M1, np.int32)
+    seen = np.empty(T * T, np.int64)
+    lib.gbtpu_gp_scatter(_ptr(src, ctypes.c_int64), src.shape[0], T,
+                         tile_elems, rows_pp, M1, phase,
+                         _ptr(perm, ctypes.c_int32),
+                         _ptr(seen, ctypes.c_int64))
+    return perm
 
 
 def clos_route_tiles(perm: np.ndarray, R: int):

@@ -601,4 +601,53 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// gp_build: single-pass construction of the 2-phase global-permute
+// scatter inputs.  Replaces ~8 npad-sized numpy intermediates (s_tile,
+// key, slot, p_in, p_mid, p_cat, ...) whose allocation+traffic was the
+// top cost of GlobalPermutePlan on this fault-bound host.
+// ---------------------------------------------------------------------------
+
+// Pass 1: per-(s_tile, d_tile) bucket counts (rows_pp sizing).
+void gbtpu_gp_counts(const int64_t* src, int64_t npad, int64_t T,
+                     int64_t tile_elems, int64_t* counts) {
+  for (int64_t k = 0; k < T * T; ++k) counts[k] = 0;
+  for (int64_t p = 0; p < npad; ++p) {
+    const int64_t st = src[p] / tile_elems;
+    const int64_t dt = p / tile_elems;
+    counts[st * T + dt]++;
+  }
+}
+
+// Pass 2a: phase-1 permutation
+//   perm1[st*M1 + dt*rows_pp*128 + slot] = src[p] % tile_elems
+// Pass 2b (separate call so only one T*M1 buffer is live at a time;
+// slots re-derive identically from the same deterministic sweep):
+//   perm2[dt*M1 + p % tile_elems] = st*rows_pp*128 + slot
+// seen is T*T scratch (zeroed here); perm is -1-filled here.
+void gbtpu_gp_scatter(const int64_t* src, int64_t npad, int64_t T,
+                      int64_t tile_elems, int64_t rows_pp, int64_t M1,
+                      int32_t phase, int32_t* perm, int64_t* seen) {
+  const int64_t slab = rows_pp * 128;
+  for (int64_t k = 0; k < T * T; ++k) seen[k] = 0;
+  for (int64_t k = 0; k < T * M1; ++k) perm[k] = -1;
+  if (phase == 1) {
+    for (int64_t p = 0; p < npad; ++p) {
+      const int64_t s = src[p];
+      const int64_t st = s / tile_elems;
+      const int64_t dt = p / tile_elems;
+      const int64_t slot = seen[st * T + dt]++;
+      perm[st * M1 + dt * slab + slot] = (int32_t)(s % tile_elems);
+    }
+  } else {
+    for (int64_t p = 0; p < npad; ++p) {
+      const int64_t s = src[p];
+      const int64_t st = s / tile_elems;
+      const int64_t dt = p / tile_elems;
+      const int64_t slot = seen[st * T + dt]++;
+      perm[dt * M1 + p % tile_elems] = (int32_t)(st * slab + slot);
+    }
+  }
+}
+
 }  // extern "C"
