@@ -186,6 +186,7 @@ class GatherPlan:
             self.finalize()
 
     def finalize(self, rows_layout=None):
+        from ..utils import native as NV
         w, res, hi, slot, vv, key, counts = self._tmp
         RBL = int(rows_layout) if rows_layout else self.RB
         assert RBL >= self.RB and RBL % 128 == 0
@@ -195,20 +196,27 @@ class GatherPlan:
         # floor(j*Q/P) is injective for Q >= P and rotation mod Q keeps it
         # so, while decorrelating the band patterns of different classes —
         # real entries then land uniformly across the route's source tiles
-        Q = RBL // 128
-        P = np.maximum(-(-counts[key] // 128), 1)       # bands per class
-        base = (key * np.int64(2654435761)) % Q
-        band = (base + (slot // 128) * Q // P) % Q
-        prow = w * RBL + band * 128 + res
-        plane = slot % 128
-        pos = prow * 128 + plane
-        hi_arr = np.zeros(W * RBL * 128, np.int8)
-        val_arr = np.zeros(W * RBL * 128, np.float32)
-        hi_arr[pos] = hi.astype(np.int8)
-        val_arr[pos] = vv
-        _dbg("gather: finalize scatters done")
-        self.hi = jnp.asarray(hi_arr.reshape(W * RBL, 128))
-        self.val = jnp.asarray(val_arr.reshape(W * RBL, 128))
+        res_n = NV.gather_finalize(key, slot, counts, vv, hi, W, RBL)
+        if res_n is not None:
+            hi_arr, val_arr, pos = res_n
+            _dbg("gather: finalize scatters done")
+            self.hi = jnp.asarray(hi_arr)
+            self.val = jnp.asarray(val_arr)
+        else:
+            Q = RBL // 128
+            P = np.maximum(-(-counts[key] // 128), 1)   # bands per class
+            base = (key * np.int64(2654435761)) % Q
+            band = (base + (slot // 128) * Q // P) % Q
+            prow = w * RBL + band * 128 + res
+            plane = slot % 128
+            pos = prow * 128 + plane
+            hi_arr = np.zeros(W * RBL * 128, np.int8)
+            val_arr = np.zeros(W * RBL * 128, np.float32)
+            hi_arr[pos] = hi.astype(np.int8)
+            val_arr[pos] = vv
+            _dbg("gather: finalize scatters done")
+            self.hi = jnp.asarray(hi_arr.reshape(W * RBL, 128))
+            self.val = jnp.asarray(val_arr.reshape(W * RBL, 128))
         _dbg("gather: device upload done")
         self.RBL = RBL
         self.pos = pos                      # host-side, for the route plan

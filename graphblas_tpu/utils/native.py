@@ -93,6 +93,17 @@ def _load():
                 ctypes.c_int64, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int64)]
+        if hasattr(lib, "gbtpu_gather_finalize"):
+            lib.gbtpu_gather_finalize.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
     except Exception:
         _lib = None
@@ -313,6 +324,31 @@ def gp_scatter(src: np.ndarray, T: int, tile_elems: int, rows_pp: int,
                          _ptr(perm, ctypes.c_int32),
                          _ptr(seen, ctypes.c_int64))
     return perm
+
+
+def gather_finalize(key, slot, counts, vv, hi, W: int, RBL: int):
+    """GatherPlan.finalize in one native sweep.  Returns
+    (hi_arr int8 (W*RBL, 128), val_arr f32 (W*RBL, 128), pos int64 (nnz,))
+    or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_gather_finalize"):
+        return None
+    key = np.ascontiguousarray(key, np.int64)
+    slot = np.ascontiguousarray(slot, np.int32)
+    counts = np.ascontiguousarray(counts, np.int64)
+    vv = np.ascontiguousarray(vv, np.float32)
+    hi = np.ascontiguousarray(hi, np.int64)
+    nnz = key.shape[0]
+    hi_arr = np.empty((W * RBL, 128), np.int8)
+    val_arr = np.empty((W * RBL, 128), np.float32)
+    pos = np.empty(nnz, np.int64)
+    lib.gbtpu_gather_finalize(
+        _ptr(key, ctypes.c_int64), _ptr(slot, ctypes.c_int32),
+        _ptr(counts, ctypes.c_int64), _ptr(vv, ctypes.c_float),
+        _ptr(hi, ctypes.c_int64), nnz, W, RBL,
+        _ptr(hi_arr, ctypes.c_int8), _ptr(val_arr, ctypes.c_float),
+        _ptr(pos, ctypes.c_int64))
+    return hi_arr, val_arr, pos
 
 
 def clos_route_tiles(perm: np.ndarray, R: int):

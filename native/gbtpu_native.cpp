@@ -650,4 +650,37 @@ void gbtpu_gp_scatter(const int64_t* src, int64_t npad, int64_t T,
   }
 }
 
+// ---------------------------------------------------------------------------
+// gather_finalize: GatherPlan.finalize in one sweep — per entry, the
+// hashed band spread + packed position + hi/val scatters, with no
+// nnz-sized numpy intermediates.  Semantics match the numpy original
+// exactly (int64 wraparound hash, non-negative modulo).
+// ---------------------------------------------------------------------------
+void gbtpu_gather_finalize(const int64_t* key, const int32_t* slot,
+                           const int64_t* counts, const float* vv,
+                           const int64_t* hi, int64_t nnz, int64_t W,
+                           int64_t RBL, int8_t* hi_arr, float* val_arr,
+                           int64_t* pos) {
+  const int64_t Q = RBL / 128;
+  const int64_t total = W * RBL * 128;
+  memset(hi_arr, 0, (size_t)total);
+  memset(val_arr, 0, (size_t)total * sizeof(float));
+  const int64_t HASH = 2654435761LL;
+  for (int64_t e = 0; e < nnz; ++e) {
+    const int64_t k = key[e];
+    const int64_t s = slot[e];
+    int64_t P = (counts[k] + 127) >> 7;
+    if (P < 1) P = 1;
+    int64_t base = (k * HASH) % Q;        // int64 wraps like numpy
+    if (base < 0) base += Q;              // numpy % is non-negative
+    const int64_t band = (base + (s >> 7) * Q / P) % Q;
+    const int64_t w = k >> 7, res = k & 127;
+    const int64_t prow = w * RBL + band * 128 + res;
+    const int64_t p = prow * 128 + (s & 127);
+    hi_arr[p] = (int8_t)hi[e];
+    val_arr[p] = vv[e];
+    pos[e] = p;
+  }
+}
+
 }  // extern "C"
