@@ -87,13 +87,21 @@ class GatherPlan:
     def __init__(self, indptr, indices, values, shape, defer=False):
         from ..utils import native as NV
         m, n = shape
-        ci = np.asarray(indices).astype(np.int64)
-        vv = np.asarray(values).astype(np.float32)
+        ci = np.ascontiguousarray(indices, np.int64)
+        vv = np.ascontiguousarray(values, np.float32)
         nnz = ci.shape[0]
         W = -(-n // WIN)
-        w = ci // WIN
-        res = ci & 127
-        hi = (ci >> 7) & 127
+        packed = NV.gather_pack(ci, n, WIN, W) if nnz else None
+        if packed is not None:
+            # one native sweep: class key, lane id, per-class counts
+            key, hi, cls_cnt = packed
+        else:
+            w0 = ci // WIN
+            res0 = ci & 127
+            key = w0 * 128 + res0
+            hi = (ci >> 7) & 127
+            cls_cnt = np.bincount(key, minlength=W * 128) if nnz else \
+                np.zeros(W * 128, np.int64)
         # -- hub columns -> virtual windows ------------------------------
         # Data-driven: a class ((window, residue) pair) overloads either
         # from one mega column or a cluster of medium ones.  For every
@@ -101,14 +109,13 @@ class GatherPlan:
         # remainder fits; hub entries split into <=cap chunks which
         # BIN-PACK into virtual classes (many chunks share a class, each
         # on its own table lane), so hub space stays proportional.
-        colcnt = np.bincount(ci, minlength=n) if nnz else np.zeros(n, int)
         cls_mean = max(nnz // (W * 128), 1)
         CAPT = max((3 * cls_mean) // 2, 384)
-        cls_cnt = np.bincount(w * 128 + res, minlength=W * 128)
         over = np.flatnonzero(cls_cnt > CAPT)
         Wv = 0
         vcells = None
         if over.size:
+            colcnt = NV.colcount(ci, n)   # lazy: only hub detection needs it
             ww, rr = over // 128, over % 128
             cols_mat = (ww[:, None] * WIN + rr[:, None]
                         + 128 * np.arange(128)[None, :])
@@ -162,8 +169,7 @@ class GatherPlan:
             r_in_col, _ = NV.rank_by_key(hcol_id, hub_cols.size)
             r_in_col = r_in_col.astype(np.int64)
             j = chunk_base[hcol_id] + r_in_col % nchunks[hcol_id]
-            w[ishub] = W + cls_of[j] // 128
-            res[ishub] = cls_of[j] % 128
+            key[ishub] = (W + cls_of[j] // 128) * 128 + cls_of[j] % 128
             hi[ishub] = lane_of[j]
             # runtime table sources: cell (res, lane) of vw holds x[col]
             vcells = np.zeros(Wv * 16384, np.int32)
@@ -172,22 +178,20 @@ class GatherPlan:
         # rows cycle through residues: entry with residue r in window w
         # goes to packed row w*RBL + (k*128 + r) for its k-th slot
         _dbg("gather: hub done")
-        key = w * 128 + res
         slot, counts = NV.rank_by_key(key, (W + Wv) * 128)
-        slot = slot.astype(np.int64)
         kmax = int(counts.max()) if nnz else 1
         RB = (-(-kmax // 128)) * 128        # capacity rows (mult of 128)
         self.W, self.Wv, self.RB = W + Wv, Wv, RB
         self.vcells = (jnp.asarray(vcells.reshape(Wv * 128, 128))
                        if Wv else None)
         self.n, self.nnz = n, nnz
-        self._tmp = (w, res, hi, slot, vv, key, counts)
+        self._tmp = (hi, slot, vv, key, counts)
         if not defer:
             self.finalize()
 
     def finalize(self, rows_layout=None):
         from ..utils import native as NV
-        w, res, hi, slot, vv, key, counts = self._tmp
+        hi, slot, vv, key, counts = self._tmp
         RBL = int(rows_layout) if rows_layout else self.RB
         assert RBL >= self.RB and RBL % 128 == 0
         W = self.W
@@ -207,7 +211,7 @@ class GatherPlan:
             P = np.maximum(-(-counts[key] // 128), 1)   # bands per class
             base = (key * np.int64(2654435761)) % Q
             band = (base + (slot // 128) * Q // P) % Q
-            prow = w * RBL + band * 128 + res
+            prow = (key // 128) * RBL + band * 128 + (key % 128)
             plane = slot % 128
             pos = prow * 128 + plane
             hi_arr = np.zeros(W * RBL * 128, np.int8)
@@ -286,21 +290,36 @@ def _next_pow2(x):
     return p
 
 
-def _fill_balanced(perm, used, T, slots):
+def _fill_balanced(perm, T, slots):
     """Pair free destinations with free sources so every (src-tile,
     dst-tile) bucket levels out: the route's slab height rows_pp is driven
     by the max bucket count, so leveled fillers keep the Clos domain at
     its minimum (R1 == TILE_R) instead of the ~2x a random pairing costs.
     The pairing solves a tiny transportation problem on the T x T bucket
-    grid (greedy water-filling with per-bucket capacity)."""
+    grid (greedy water-filling with per-bucket capacity).  Counting and
+    assignment are single native sweeps (the numpy flatnonzero/bincount/
+    sort pipeline was ~12 s of the 2^18 plan build on this fault-bound
+    single-core host)."""
     from ..utils import native as NV
-    free_dst = np.flatnonzero(perm < 0)
-    free_src = np.flatnonzero(~used)[: free_dst.shape[0]]
-    real_dst = np.flatnonzero(perm >= 0)
-    real = np.bincount((perm[real_dst] // slots) * T + real_dst // slots,
-                       minlength=T * T).reshape(T, T)
-    S = np.bincount(free_src // slots, minlength=T)     # supply per s
-    D = np.bincount(free_dst // slots, minlength=T)     # demand per d
+    nat = NV.fill_counts(perm, slots, T)
+    if nat is not None:
+        real, D, used = nat
+        K = int(D.sum())
+        if K == 0:
+            return perm
+        S = NV.free_src_counts(used, K, slots, T)
+        free_dst = free_src = None
+    else:
+        used = np.zeros(perm.shape[0], bool)
+        used[perm[perm >= 0]] = True
+        free_dst = np.flatnonzero(perm < 0)
+        free_src = np.flatnonzero(~used)[: free_dst.shape[0]]
+        real_dst = np.flatnonzero(perm >= 0)
+        real = np.bincount(
+            (perm[real_dst] // slots) * T + real_dst // slots,
+            minlength=T * T).reshape(T, T)
+        S = np.bincount(free_src // slots, minlength=T)  # supply per s
+        D = np.bincount(free_dst // slots, minlength=T)  # demand per d
     def _ru8_rows(elems):
         rows = -(-int(elems) // 128)
         return -(-rows // 8) * 8
@@ -328,7 +347,14 @@ def _fill_balanced(perm, used, T, slots):
         cap_rows += 8
     if not ok:
         # give up on leveling: random pairing (correct, just more padding)
+        if free_dst is None:
+            free_dst = np.flatnonzero(perm < 0)
+            free_src = np.flatnonzero(used == 0)[: free_dst.shape[0]]
         perm[free_dst] = np.random.default_rng(0x5eed).permutation(free_src)
+        return perm
+    if free_dst is None:
+        # native single-sweep assignment (same pairing as the numpy path)
+        assert NV.fill_assign(perm, used, fill, slots, T)
         return perm
     # hand each free source (s-major order) a destination tile per quota,
     # then stable-sort by that tile to align with free_dst (d-major order)
@@ -362,7 +388,7 @@ class SpmvRoutePlan:
         m0, n = shape
         self.m, self.n = m0, n
         self.g = GatherPlan(indptr, indices, values, shape, defer=True)
-        ip = np.asarray(indptr).astype(np.int64)
+        ip = np.ascontiguousarray(indptr, np.int64)
         counts0 = np.diff(ip)
         N_cap = (self.g.W * self.g.RB * 128)
         # adaptive tile size: keep the route tile count T <= ~256 so the
@@ -452,43 +478,48 @@ class SpmvRoutePlan:
             assert per_tile.max() <= slots
         self.T, self.YT_ROWS = T, YT_ROWS
         N_dst = T * slots
-        # destination slot of every product: rows in order, one sentinel
-        # slot after each row, rows never straddle tiles
-        tile_of_row = np.arange(mpad) // Y_T
-        # slot offsets: restart at each tile boundary
-        width = cpad + 1
-        tile_first_row = tile_of_row * Y_T
-        cum = np.zeros(mpad + 1, np.int64)
-        np.cumsum(width, out=cum[1:])
-        tile_base_cum = cum[tile_first_row]                 # per row
-        row_off = cum[:mpad] - tile_base_cum                # within tile
-        # per-entry destination (entries of row i at off..off+c-1; sentinel
-        # at off + c).  CSR input is row-major, so the within-row rank is
-        # just position minus the row start — no sort needed.
         gs = self.g
         N_src = gs.W * gs.RBL * 128
-        if row_of_entry is not None:
-            ri, within = row_of_entry, within_of_entry
-        else:
-            ri = np.repeat(np.arange(m, dtype=np.int64), counts)
-            within = np.arange(gs.nnz, dtype=np.int64) - np.repeat(
-                ip[:-1], counts)
-        dst_slot = (tile_of_row[ri] * slots + row_off[ri] + within)
-        # the permutation: dest -> source, leveled fillers
         assert N_src <= N_dst, (N_src, N_dst)
-        perm = np.full(N_dst, -1, np.int64)
-        perm[dst_slot] = gs.pos
-        used = np.zeros(N_dst, bool)
-        used[gs.pos] = True
+        # destination slot of every product (rows in order, one sentinel
+        # slot after each row, rows never straddle tiles) + the partial
+        # permutation, one native sweep; numpy fallback below
+        from ..utils import native as NV
+        nat = NV.route_perm(cpad, Y_T, slots, ip, m, row_of_entry,
+                            within_of_entry, np.asarray(gs.pos), N_dst)
+        if nat is not None:
+            perm, sent_flat = nat
+            row_off = None
+        else:
+            tile_of_row = np.arange(mpad) // Y_T
+            # slot offsets: restart at each tile boundary
+            width = cpad + 1
+            tile_first_row = tile_of_row * Y_T
+            cum = np.zeros(mpad + 1, np.int64)
+            np.cumsum(width, out=cum[1:])
+            tile_base_cum = cum[tile_first_row]             # per row
+            row_off = cum[:mpad] - tile_base_cum            # within tile
+            # entries of row i at off..off+c-1 (CSR is row-major, so the
+            # within-row rank is position minus the row start)
+            if row_of_entry is not None:
+                ri, within = row_of_entry, within_of_entry
+            else:
+                ri = np.repeat(np.arange(m, dtype=np.int64), counts)
+                within = np.arange(gs.nnz, dtype=np.int64) - np.repeat(
+                    ip[:-1], counts)
+            dst_slot = (tile_of_row[ri] * slots + row_off[ri] + within)
+            perm = np.full(N_dst, -1, np.int64)
+            perm[dst_slot] = gs.pos
+            sent_flat = row_off + cpad
         _dbg("perm scatter done")
-        perm = _fill_balanced(perm, used, T, slots)
+        perm = _fill_balanced(perm, T, slots)
         _dbg("fill_balanced done")
         self.gp = SRT.GlobalPermutePlan(perm, N_dst, tile_r=TR)
         _dbg("global permute plan done")
         # selection pack per dest tile: the sentinel slot of tile-row p
         # (the cumsum through that row) is delivered to raster position p
         # by a monotone concentrator — plan is pure rank arithmetic
-        sent_slot = (row_off + cpad).reshape(T, Y_T)         # within tile
+        sent_slot = sent_flat.reshape(T, Y_T)                # within tile
         lidx, bitsU, bitsD = SRT.monotone_pack_plan(sent_slot, TR)
         _dbg("sel pack done")
         self.sel_lidx = jnp.asarray(lidx)

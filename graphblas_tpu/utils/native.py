@@ -93,6 +93,41 @@ def _load():
                 ctypes.c_int64, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int64)]
+        if hasattr(lib, "gbtpu_gather_pack"):
+            lib.gbtpu_gather_pack.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.gbtpu_colcount.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+            lib.gbtpu_fill_counts.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.gbtpu_free_src_counts.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.gbtpu_fill_assign.restype = ctypes.c_int
+            lib.gbtpu_fill_assign.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64]
+            lib.gbtpu_route_perm.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
         if hasattr(lib, "gbtpu_gather_finalize"):
             lib.gbtpu_gather_finalize.argtypes = [
                 ctypes.POINTER(ctypes.c_int64),
@@ -324,6 +359,104 @@ def gp_scatter(src: np.ndarray, T: int, tile_elems: int, rows_pp: int,
                          _ptr(perm, ctypes.c_int32),
                          _ptr(seen, ctypes.c_int64))
     return perm
+
+
+def gather_pack(ci: np.ndarray, n: int, win: int, W: int):
+    """GatherPlan entry sweep: per-entry class key + lane id and per-class
+    counts in one native pass.  None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_gather_pack"):
+        return None
+    ci = np.ascontiguousarray(ci, np.int64)
+    nnz = ci.shape[0]
+    key = np.empty(nnz, np.int64)
+    hi = np.empty(nnz, np.int64)
+    cls_cnt = np.empty(W * 128, np.int64)
+    lib.gbtpu_gather_pack(_ptr(ci, ctypes.c_int64), nnz, n, win, W,
+                          _ptr(key, ctypes.c_int64),
+                          _ptr(hi, ctypes.c_int64),
+                          _ptr(cls_cnt, ctypes.c_int64))
+    return key, hi, cls_cnt
+
+
+def colcount(ci: np.ndarray, n: int) -> np.ndarray:
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_colcount"):
+        return np.bincount(ci, minlength=n).astype(np.int64)
+    ci = np.ascontiguousarray(ci, np.int64)
+    colcnt = np.empty(n, np.int64)
+    lib.gbtpu_colcount(_ptr(ci, ctypes.c_int64), ci.shape[0], n,
+                       _ptr(colcnt, ctypes.c_int64))
+    return colcnt
+
+
+def fill_counts(perm: np.ndarray, slots: int, T: int):
+    """Per-(s,d)-tile real bucket counts, per-tile free-destination counts
+    and the used-source bitmap, one native pass.  None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_fill_counts"):
+        return None
+    assert perm.dtype == np.int64 and perm.flags.c_contiguous
+    N = perm.shape[0]
+    real = np.empty((T, T), np.int64)
+    D = np.empty(T, np.int64)
+    used = np.empty(N, np.uint8)
+    lib.gbtpu_fill_counts(_ptr(perm, ctypes.c_int64), N, slots, T,
+                          _ptr(real, ctypes.c_int64),
+                          _ptr(D, ctypes.c_int64),
+                          _ptr(used, ctypes.c_uint8))
+    return real, D, used
+
+
+def free_src_counts(used: np.ndarray, K: int, slots: int, T: int):
+    lib = _load()
+    S = np.empty(T, np.int64)
+    lib.gbtpu_free_src_counts(_ptr(used, ctypes.c_uint8), used.shape[0],
+                              K, slots, T, _ptr(S, ctypes.c_int64))
+    return S
+
+
+def fill_assign(perm: np.ndarray, used: np.ndarray, fill: np.ndarray,
+                slots: int, T: int) -> bool:
+    lib = _load()
+    fill = np.ascontiguousarray(fill, np.int64)
+    rc = lib.gbtpu_fill_assign(_ptr(perm, ctypes.c_int64),
+                               _ptr(used, ctypes.c_uint8),
+                               _ptr(fill, ctypes.c_int64),
+                               perm.shape[0], slots, T)
+    return rc == 0
+
+
+def route_perm(counts_pad: np.ndarray, YT: int, slots: int,
+               ip: np.ndarray, m0: int, row_of, within_of,
+               pos: np.ndarray, Ndst: int):
+    """Destination layout + partial permutation in one native sweep.
+    Returns (perm int64 (Ndst,), sent int64 (mpad,)) or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_route_perm"):
+        return None
+    counts_pad = np.ascontiguousarray(counts_pad, np.int64)
+    pos = np.ascontiguousarray(pos, np.int64)
+    mpad = counts_pad.shape[0]
+    perm = np.empty(Ndst, np.int64)
+    sent = np.empty(mpad, np.int64)
+    null = ctypes.POINTER(ctypes.c_int64)()
+    if row_of is not None:
+        row_of = np.ascontiguousarray(row_of, np.int64)
+        within_of = np.ascontiguousarray(within_of, np.int64)
+        rp, wp = _ptr(row_of, ctypes.c_int64), _ptr(within_of,
+                                                    ctypes.c_int64)
+        ipp = null
+    else:
+        rp, wp = null, null
+        ip = np.ascontiguousarray(ip, np.int64)
+        ipp = _ptr(ip, ctypes.c_int64)
+    lib.gbtpu_route_perm(_ptr(counts_pad, ctypes.c_int64), mpad, YT,
+                         slots, ipp, m0, rp, wp,
+                         _ptr(pos, ctypes.c_int64), pos.shape[0], Ndst,
+                         _ptr(perm, ctypes.c_int64),
+                         _ptr(sent, ctypes.c_int64))
+    return perm, sent
 
 
 def gather_finalize(key, slot, counts, vv, hi, W: int, RBL: int):

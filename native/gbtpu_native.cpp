@@ -486,8 +486,13 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
   // Edges are kept PHYSICALLY partitioned by Euler group, so every level's
   // sorts, walks and partitions run on halved, increasingly cache-resident
   // blocks, and the final block index IS the lane assignment.
-  std::vector<int32_t> pA(N), pB(N), dA(N), dB(N);
-  std::vector<int32_t> order(N), mateA(N), mateB(N);
+  // dst positions are never stored whole: within every block the dst ROW
+  // of local edge e is implicitly e / width (db starts as the identity
+  // and the stable partition keeps even-length, even-aligned runs), so
+  // only the dst LANE byte rides along.
+  std::vector<int32_t> pA(N), pB(N);
+  std::vector<int8_t> dA(N), dB(N);
+  std::vector<int32_t> order(N), mateA(N);
   std::vector<int8_t> color(N);
   std::vector<int32_t> cnt(R + 1);
   std::vector<uint8_t> used(N);
@@ -510,13 +515,13 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
       }
     }
     std::memcpy(pA.data(), p0, (size_t)N * 4);
-    for (int64_t e = 0; e < N; ++e) dA[e] = (int32_t)e;
+    for (int64_t e = 0; e < N; ++e) dA[e] = (int8_t)(e & 127);
 
     // -- recursive Euler split with physical partitioning
     int32_t* pc = pA.data();
-    int32_t* dc = dA.data();
+    int8_t* dc = dA.data();
     int32_t* pn = pB.data();
-    int32_t* dn = dB.data();
+    int8_t* dn = dB.data();
     int64_t width = L;          // current block width (edges per block / R)
     int64_t bsz = N;            // current block size
     while (width > 1) {
@@ -524,11 +529,15 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
       for (int64_t b = 0; b < nblk; ++b) {
         const int64_t off = b * bsz;
         const int32_t* pb = pc + off;
-        const int32_t* db = dc + off;
-        // pair at equal src rows / dst rows (counting sort per side)
-        for (int side = 0; side < 2; ++side) {
-          const int32_t* pos = side ? db : pb;
-          int32_t* mate = side ? mateB.data() : mateA.data();
+        const int8_t* db = dc + off;
+        // pair at equal src rows (counting sort).  The dst side needs no
+        // sort: db stays ascending within every block (dA starts as the
+        // identity and the partition below is stable), each dst row's
+        // edges form an even-length, even-aligned run, so the dst mate of
+        // edge e is simply e^1.
+        {
+          const int32_t* pos = pb;
+          int32_t* mate = mateA.data();
           std::memset(cnt.data(), 0, (size_t)(R + 1) * 4);
           for (int64_t e = 0; e < bsz; ++e) cnt[(pos[e] >> 7) + 1]++;
           for (int64_t k = 0; k < R; ++k) cnt[k + 1] += cnt[k];
@@ -539,7 +548,7 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
             mate[order[i + 1]] = order[i];
           }
         }
-        // 2-color alternating Euler cycles
+        // 2-color alternating Euler cycles (dst mate = q^1)
         std::memset(color.data(), -1, bsz);
         for (int64_t st = 0; st < bsz; ++st) {
           if (color[st] >= 0) continue;
@@ -548,7 +557,7 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
             color[q0] = 0;
             int64_t q = mateA[q0];
             if (color[q] < 0) color[q] = 1;
-            q0 = mateB[q];
+            q0 = q ^ 1;
           }
         }
         // stable partition into the two child blocks
@@ -570,18 +579,19 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
       width /= 2;
       bsz /= 2;
     }
-    // edges now lane-major: block l (size R) = edges assigned lane l
+    // edges now lane-major: block l (size R) = edges assigned lane l;
+    // dst row of local edge e is e (width == 1)
     int8_t* ii = idx_in + t * N;
     int8_t* io = idx_out + t * N;
     for (int64_t l = 0; l < L; ++l) {
       const int32_t* pb = pc + l * R;
-      const int32_t* db = dc + l * R;
+      const int8_t* db = dc + l * R;
       int16_t* cb = cur16.data() + l * R;
       for (int64_t e = 0; e < R; ++e) {
-        const int32_t sp = pb[e], dp = db[e];
+        const int32_t sp = pb[e];
         ii[(int64_t)(sp >> 7 << 7) + l] = (int8_t)(sp & 127);
-        cb[dp >> 7] = (int16_t)(sp >> 7);
-        io[(int64_t)(dp >> 7 << 7) + (dp & 127)] = (int8_t)l;
+        cb[e] = (int16_t)(sp >> 7);
+        io[(e << 7) + db[e]] = (int8_t)l;
       }
     }
     benes_columns_i16(cur16.data(), L, R, bits_loc.data(), inv16.data(),
@@ -646,6 +656,134 @@ void gbtpu_gp_scatter(const int64_t* src, int64_t npad, int64_t T,
       const int64_t dt = p / tile_elems;
       const int64_t slot = seen[st * T + dt]++;
       perm[dt * M1 + p % tile_elems] = (int32_t)(st * slab + slot);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// gather_pack: GatherPlan.__init__'s entry sweep — per entry the class key
+// (window*128 + residue) and lane id, plus per-class and per-column counts,
+// in ONE pass with no nnz-sized numpy temporaries (the former w/res/hi/key
+// bincount pipeline allocated ~6 fresh nnz arrays on a fault-bound host).
+// ---------------------------------------------------------------------------
+void gbtpu_gather_pack(const int64_t* ci, int64_t nnz, int64_t n,
+                       int64_t win, int64_t W, int64_t* key, int64_t* hi,
+                       int64_t* cls_cnt) {
+  memset(cls_cnt, 0, (size_t)W * 128 * 8);
+  for (int64_t e = 0; e < nnz; ++e) {
+    const int64_t c = ci[e];
+    const int64_t k = (c / win) * 128 + (c & 127);
+    key[e] = k;
+    hi[e] = (c >> 7) & 127;
+    cls_cnt[k]++;
+  }
+}
+
+// Column counts (only needed when some class overloads — the hub path).
+void gbtpu_colcount(const int64_t* ci, int64_t nnz, int64_t n,
+                    int64_t* colcnt) {
+  memset(colcnt, 0, (size_t)n * 8);
+  for (int64_t e = 0; e < nnz; ++e) colcnt[ci[e]]++;
+}
+
+// ---------------------------------------------------------------------------
+// fill_balanced natives: the route plan's free-destination/free-source
+// pairing (leveled (src-tile, dst-tile) buckets) without the numpy
+// flatnonzero/bincount/argsort pipeline (~12 s of the 2^18 plan build).
+// ---------------------------------------------------------------------------
+
+// Pass 1: per-(s_tile, d_tile) real bucket counts, per-tile free-dst
+// counts D, and the used-source bitmap.
+void gbtpu_fill_counts(const int64_t* perm, int64_t N, int64_t slots,
+                       int64_t T, int64_t* real_cnt, int64_t* D,
+                       uint8_t* used) {
+  memset(real_cnt, 0, (size_t)T * T * 8);
+  memset(D, 0, (size_t)T * 8);
+  memset(used, 0, (size_t)N);
+  for (int64_t p = 0; p < N; ++p) {
+    const int64_t s = perm[p];
+    if (s >= 0) {
+      real_cnt[(s / slots) * T + p / slots]++;
+      used[s] = 1;
+    } else {
+      D[p / slots]++;
+    }
+  }
+}
+
+// Pass 2: per-tile counts of the first K unused sources (global ascending
+// order — matches numpy's flatnonzero(~used)[:K]).
+void gbtpu_free_src_counts(const uint8_t* used, int64_t N, int64_t K,
+                           int64_t slots, int64_t T, int64_t* S) {
+  memset(S, 0, (size_t)T * 8);
+  int64_t taken = 0;
+  for (int64_t p = 0; p < N && taken < K; ++p)
+    if (!used[p]) {
+      S[p / slots]++;
+      ++taken;
+    }
+}
+
+// Pass 3: assign free destinations (d-tile ascending, position ascending)
+// to free sources per the fill[s][d] quotas, sources consumed per tile in
+// ascending order.  Equivalent to the numpy repeat + stable counting sort
+// pairing.  Returns 0, or -1 if a cursor ran off its domain (quota bug).
+int gbtpu_fill_assign(int64_t* perm, const uint8_t* used,
+                      const int64_t* fill, int64_t N, int64_t slots,
+                      int64_t T) {
+  std::vector<int64_t> cs(T);
+  for (int64_t s = 0; s < T; ++s) cs[s] = s * slots;
+  int64_t pd = 0;
+  for (int64_t d = 0; d < T; ++d) {
+    pd = d * slots;
+    const int64_t pend = (d + 1) * slots;
+    for (int64_t s = 0; s < T; ++s) {
+      int64_t q = fill[s * T + d];
+      const int64_t send = (s + 1) * slots;
+      while (q-- > 0) {
+        while (cs[s] < send && used[cs[s]]) ++cs[s];
+        if (cs[s] >= send) return -1;
+        while (pd < pend && perm[pd] >= 0) ++pd;
+        if (pd >= pend) return -1;
+        perm[pd++] = cs[s]++;
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// route_perm: the SpmvRoutePlan destination layout in one sweep — per-row
+// within-tile offsets (one sentinel slot after each row, rows never
+// straddling tiles), per-entry destination slots, and the partial
+// permutation perm[dst] = pos[e] (-1 elsewhere).  Replaces ~10 mpad/nnz/
+// Ndst-sized numpy intermediates (arange/cumsum/repeat/scatter).
+// counts has mpad entries (0-padded past the real rows).  row_of/within_of
+// are the heavy-row split maps (pass NULL when rows are unsplit, in which
+// case ip (m0+1) gives each row's entry range).
+// ---------------------------------------------------------------------------
+void gbtpu_route_perm(const int64_t* counts, int64_t mpad, int64_t YT,
+                      int64_t slots, const int64_t* ip, int64_t m0,
+                      const int64_t* row_of, const int64_t* within_of,
+                      const int64_t* pos, int64_t nnz, int64_t Ndst,
+                      int64_t* perm, int64_t* sent) {
+  std::vector<int64_t> row_base(mpad);
+  int64_t cum = 0;
+  for (int64_t r = 0; r < mpad; ++r) {
+    if (r % YT == 0) cum = 0;
+    row_base[r] = (r / YT) * slots + cum;
+    sent[r] = cum + counts[r];
+    cum += counts[r] + 1;
+  }
+  for (int64_t p = 0; p < Ndst; ++p) perm[p] = -1;
+  if (row_of) {
+    for (int64_t e = 0; e < nnz; ++e)
+      perm[row_base[row_of[e]] + within_of[e]] = pos[e];
+  } else {
+    for (int64_t r = 0; r < m0; ++r) {
+      const int64_t base = row_base[r];
+      const int64_t e0 = ip[r], e1 = ip[r + 1];
+      for (int64_t e = e0; e < e1; ++e) perm[base + (e - e0)] = pos[e];
     }
   }
 }
