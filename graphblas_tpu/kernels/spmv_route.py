@@ -381,7 +381,7 @@ class SpmvRoutePlan:
     chunks append past m, and the final y adds them back with one tiny
     scatter-add (extra chunks are few)."""
 
-    __slots__ = ("g", "gp", "sel_lidx", "sel_bitsU", "sel_bitsD",
+    __slots__ = ("g", "gp", "sel_lidx", "sel_bits",
                  "T", "TR", "YT_ROWS", "m", "m_sub", "n", "extra_owner")
 
     def __init__(self, indptr, indices, values, shape):
@@ -520,11 +520,10 @@ class SpmvRoutePlan:
         # (the cumsum through that row) is delivered to raster position p
         # by a monotone concentrator — plan is pure rank arithmetic
         sent_slot = sent_flat.reshape(T, Y_T)                # within tile
-        lidx, bitsU, bitsD = SRT.monotone_pack_plan(sent_slot, TR)
+        lidx, bits = SRT.monotone_pack_plan(sent_slot, TR)
         _dbg("sel pack done")
         self.sel_lidx = jnp.asarray(lidx)
-        self.sel_bitsU = jnp.asarray(bitsU)
-        self.sel_bitsD = jnp.asarray(bitsD)
+        self.sel_bits = jnp.asarray(bits)
 
 
 # ---------------------------------------------------------------------------
@@ -566,13 +565,13 @@ def _register_plan_pytrees():
                                        unflat_gp)
 
     def flat_plan(p):
-        return ((p.g, p.gp, p.sel_lidx, p.sel_bitsU, p.sel_bitsD,
+        return ((p.g, p.gp, p.sel_lidx, p.sel_bits,
                  p.extra_owner),
                 (p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n))
 
     def unflat_plan(aux, leaves):
         p = object.__new__(SpmvRoutePlan)
-        (p.g, p.gp, p.sel_lidx, p.sel_bitsU, p.sel_bitsD,
+        (p.g, p.gp, p.sel_lidx, p.sel_bits,
          p.extra_owner) = leaves
         p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n = aux
         return p
@@ -649,7 +648,7 @@ def _plan_blob(plan):
     blob = {}
     for k in _PLAN_SCALARS:
         blob["p_" + k] = np.int64(getattr(plan, k))
-    for k in ("sel_lidx", "sel_bitsU", "sel_bitsD"):
+    for k in ("sel_lidx", "sel_bits"):
         blob[k] = np.asarray(getattr(plan, k))
     for k in _GP_SCALARS:
         blob["gp_" + k] = np.int64(getattr(plan.gp, k))
@@ -687,8 +686,14 @@ def load_plan(path) -> "SpmvRoutePlan":
     plan = object.__new__(SpmvRoutePlan)
     for k in _PLAN_SCALARS:
         setattr(plan, k, int(z["p_" + k]))
-    for k in ("sel_lidx", "sel_bitsU", "sel_bitsD"):
-        setattr(plan, k, jnp.asarray(z[k]))
+    plan.sel_lidx = jnp.asarray(z["sel_lidx"])
+    try:
+        plan.sel_bits = jnp.asarray(z["sel_bits"])
+    except (KeyError, FileNotFoundError):
+        # pre-merge blob: separate up/down masks
+        nb = int(np.log2(plan.TR))
+        plan.sel_bits = jnp.asarray(np.asarray(z["sel_bitsU"])
+                                    | (np.asarray(z["sel_bitsD"]) << nb))
     gp = object.__new__(SRT.GlobalPermutePlan)
     for k in _GP_SCALARS:
         setattr(gp, k, int(z["gp_" + k]))
@@ -733,7 +738,7 @@ def _raster_cumsum(x):
 
 
 def _phase2ext_kernel(x_ref, ii_ref, bits_ref, io_ref,
-                      slidx_ref, sbU_ref, sbD_ref, y_ref,
+                      slidx_ref, sb_ref, y_ref,
                       *, dists, R, rows_in, YT_ROWS, TR):
     x = x_ref[:].reshape(rows_in, 128)
     if rows_in < R:
@@ -748,7 +753,7 @@ def _phase2ext_kernel(x_ref, ii_ref, bits_ref, io_ref,
     # (lane placement gather + monotone concentrator), difference
     cs = _raster_cumsum(tile)
     cs = jnp.take_along_axis(cs, slidx_ref[:].astype(jnp.int32), axis=1)
-    cs = SRT._pack_stages(cs, sbU_ref[:], sbD_ref[:], TR)
+    cs = SRT._pack_stages(cs, sb_ref[:], TR)
     sel = cs[:YT_ROWS, :]
     a = pltpu.roll(sel, 1, 1)
     b = pltpu.roll(a, 1, 0)
@@ -817,8 +822,6 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 128), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((plan.YT_ROWS, 128), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
@@ -831,7 +834,7 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
         mid = phase1(xp, gp.ii1, gp.bits1, gp.io1)
         mid4 = mid.reshape(T2, T2, rows_pp, 128)
         y = phase2(mid4, gp.ii2, gp.bits2, gp.io2,
-                   plan.sel_lidx, plan.sel_bitsU, plan.sel_bitsD)
+                   plan.sel_lidx, plan.sel_bits)
     y = y.reshape(-1)
     if plan.extra_owner is not None:
         # heavy-row sub-rows: add the extra chunks' partial sums back

@@ -267,14 +267,16 @@ def monotone_pack_plan(marked, R, L=128):
                 non-blocking on the ascending butterfly, so masks follow
                 from pure rank arithmetic (no Euler/Benes cycle walks).
 
-    Returns (lidx int8 (T*R, L), bitsU int32, bitsD int32) where bit b of
-    bitsU/bitsD marks positions receiving from below/above at stage 2^b.
+    Returns (lidx int8 (T*R, L), bits int32) where bits packs BOTH stage
+    masks: bit b marks positions receiving from below at stage 2^b, bit
+    nb+b positions receiving from above (the two are disjoint per
+    position, so 2*nb <= 32 bits suffice for R <= 2^16).
     Raises ValueError if a collision is detected (caller falls back to a
     full Clos route; cannot happen for sorted inputs per the lemma)."""
     marked = np.asarray(marked, np.int64)
     T, K = marked.shape
     nb = int(np.log2(R))
-    assert (1 << nb) == R
+    assert (1 << nb) == R and nb <= 16
     tt = np.repeat(np.arange(T, dtype=np.int64), K)
     mm = marked.reshape(-1)
     s_of = mm >> 7
@@ -305,18 +307,18 @@ def monotone_pack_plan(marked, R, L=128):
         q = newq
     if not np.array_equal(q, dest_sub):
         raise ValueError("monotone_pack_plan: did not converge")
-    return lidx, bitsU, bitsD
+    return lidx, bitsU | (bitsD << nb)
 
 
-def _pack_stages(x, bitsU, bitsD, R):
+def _pack_stages(x, bits, R):
     """Executor for monotone_pack_plan step b (use inside Pallas kernels)."""
     nb = int(np.log2(R))
     for b in range(nb):
         d = 1 << b
         fromdn = pltpu.roll(x, R - d, 0)          # x[i] <- x[i + d]
         fromup = pltpu.roll(x, d, 0)              # x[i] <- x[i - d]
-        mU = ((bitsU >> b) & 1) == 1
-        mD = ((bitsD >> b) & 1) == 1
+        mU = ((bits >> b) & 1) == 1
+        mD = ((bits >> (nb + b)) & 1) == 1
         x = jnp.where(mU, fromdn, jnp.where(mD, fromup, x))
     return x
 
