@@ -43,6 +43,29 @@ from ..core.types import cast
 from ..kernels import segment as K
 from ..kernels import sortreduce as SRD
 
+import os as _os
+import time as _time
+
+_SPG_DBG = bool(_os.environ.get("GB_SPGEMM_DEBUG"))
+_dbg_t = [None]
+
+
+def _sdbg(stage, *sync):
+    """Stage timer (GB_SPGEMM_DEBUG=1): forces a device sync on the given
+    arrays so wall deltas attribute to real stages, not dispatch queues."""
+    if not _SPG_DBG:
+        return
+    for a in sync:
+        try:
+            np.asarray(jnp.sum(a))
+        except Exception:
+            pass
+    now = _time.perf_counter()
+    dt = 0.0 if _dbg_t[0] is None else now - _dbg_t[0]
+    _dbg_t[0] = now
+    print(f"[spgemm] {stage}  +{dt:.3f}s", flush=True)
+
+
 # payload bias: adjB = bstart - pos must map into [0, 2^32).  pos <
 # 2^28 is asserted (padded class domains beyond that fall back).
 _BIAS = np.int64(1) << 28
@@ -204,7 +227,9 @@ def host_arrays(Ar, Br, cumf, sr, zt):
 def spgemm_esc_fast(Ar, Br, cumf, ip_h, row_cum_h, F, sr, zt, m, n, mask,
                     desc, interpret, classic_block, flop_block):
     """Row-block-tiled driver (peak padded memory O(flop_block))."""
+    _sdbg("driver start")
     hostA = host_arrays(Ar, Br, cumf, sr, zt)
+    _sdbg("host_arrays")
     masked = mask is not None and mask.fmt in (SPARSE, HYPER)
     if masked:
         from .masker import _keys_of
@@ -235,6 +260,7 @@ def spgemm_esc_fast(Ar, Br, cumf, ip_h, row_cum_h, F, sr, zt, m, n, mask,
     CFG.burble("spgemm-fast: %d row blocks (scan-expand)",
                len(starts) - 1)
     ips, idxs, cvs = [], [], []
+    _sdbg("block split")
     for r0, r1 in zip(starts[:-1], starts[1:]):
         indptr_b, uidx, cv = _block(
             Ar, Br, hostA, ip_h, row_cum_h, r0, r1, sr, zt, n,
@@ -319,46 +345,59 @@ def _block(Ar, Br, hostA, ip_h, row_cum_h, r0, r1, sr, zt, n,
                              need_av, need_bv, mode_av, masked,
                              bool(desc.mask_structure),
                              bool(desc.mask_complement), interpret)
+        _sdbg(f"class C={C} host prep (E={E})")
         ok, ov, counts_c = fn(
             jnp.asarray(pos), jnp.asarray(packed1), jnp.asarray(packed2),
             jnp.asarray(rows64), jnp.asarray(flopc),
             Br.indices, Bv_dev, mk, mv)
-
-        okf = ok.reshape(-1)
-        ovf = ov.reshape(-1)
-        keep = okf != SRD.SENTINEL
-        slot = jnp.arange(okf.shape[0], dtype=jnp.int32)
-        kept, (jk, vk, sl) = K.compact(keep, okf, ovf, slot)
-        rowidx = (sl // C).astype(jnp.int64)
-        uvec = jnp.asarray(rows64)[rowidx]
+        _sdbg(f"class C={C} pipeline", counts_c)
         counts_c = counts_c[:Rc]
         counts_by_row = counts_by_row.at[jnp.asarray(sel)].set(counts_c)
-        streams.append((uvec, jk, vk, rowidx,
-                        jnp.concatenate([jnp.zeros(1, jnp.int64),
-                                         jnp.cumsum(counts_c)])))
+        streams.append((ok, ov, jnp.asarray(sel), C, Rc))
 
     # fallback rows (flops beyond the top class): classic argsort ESC
     fb = np.flatnonzero(cls == len(SRD.CAPS))
+    fb_stream = None
     if fb.size:
         uvec, uidx, cv, counts_fb = classic_block(fb, r0)
         vk = cv.astype(kdt_np) if not logical else cv.astype(jnp.int32)
         rowidx = jnp.searchsorted(jnp.asarray((fb + r0).astype(np.int64)),
                                   uvec).astype(jnp.int64)
         counts_by_row = counts_by_row.at[jnp.asarray(fb)].set(counts_fb)
-        streams.append((uvec, uidx.astype(jnp.int32), vk, rowidx,
-                        jnp.concatenate([jnp.zeros(1, jnp.int64),
-                                         jnp.cumsum(counts_fb)])))
+        fb_stream = (uvec, uidx.astype(jnp.int32), vk, rowidx,
+                     jnp.concatenate([jnp.zeros(1, jnp.int64),
+                                      jnp.cumsum(counts_fb)]))
 
     indptr = jnp.concatenate([jnp.zeros(1, jnp.int64),
                               jnp.cumsum(counts_by_row)])
     nnz_tot = int(indptr[-1])
+    _sdbg("indptr+nnz sync")
     uidx_out = jnp.zeros((nnz_tot,), INDEX)
     cv_out = jnp.zeros((nnz_tot,), kdt_np)
-    for uvec, jk, vk, rowidx, cstart in streams:
+    # direct placement: sort-reduce leaves each row's outputs at run-end
+    # slots, so the within-row output rank is a row-wise prefix count
+    # (vector cumsum) and the destination is pure arithmetic — no
+    # gather-based compaction (the former K.compact cost 4 full-domain
+    # scalar-rate passes per class)
+    for ok, ov, sel_d, C, Rc in streams:
+        okr = ok.reshape(-1, C)
+        valid = okr != SRD.SENTINEL
+        rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+        base = jnp.full((okr.shape[0],), nnz_tot, jnp.int64)
+        base = base.at[: Rc].set(indptr[sel_d])
+        dest = jnp.where(valid, base[:, None] + rank, nnz_tot)
+        df = dest.reshape(-1)
+        uidx_out = uidx_out.at[df].set(ok.reshape(-1).astype(INDEX),
+                                       mode="drop")
+        cv_out = cv_out.at[df].set(ov.reshape(-1).astype(kdt_np),
+                                   mode="drop")
+    if fb_stream is not None:
+        uvec, jk, vk, rowidx, cstart = fb_stream
         k_in = jnp.arange(jk.shape[0], dtype=jnp.int64)
         dest = indptr[uvec - r0] + (k_in - cstart[rowidx])
         uidx_out = uidx_out.at[dest].set(jk.astype(INDEX))
         cv_out = cv_out.at[dest].set(vk)
+    _sdbg("direct placement", cv_out)
     if logical:
         cv_out = cv_out.astype(np.bool_)
     else:
