@@ -71,7 +71,13 @@ def _posC(shape, C):
     return ((sub * 128) + lane) & (C - 1)
 
 
-def _sort_reduce_body(kx, vx, C, SB, add_fn):
+def _sort_reduce_body(kx, vx, C, SB, add_fn, tx=None, want_token=True):
+    """Sort + segmented reduce of one block.  With ``tx`` (int32, 1 =
+    mask token / 2 = product, 0 = pad), tokens ride the same sort, the
+    2-bit channel reduces with bitwise OR over each run, and a run's
+    output survives only if it saw a product AND token presence matches
+    ``want_token`` — the dot3 mask filter without any key lookups
+    (reference: Source/GB_AxB_dot3_template.c's mask-driven pattern)."""
     posC = _posC(kx.shape, C)
     # ---- bitonic sort (ascending per C-run) -------------------------------
     logC = C.bit_length() - 1
@@ -86,10 +92,14 @@ def _sort_reduce_body(kx, vx, C, SB, add_fn):
             swap = jnp.where(take_min, pk < kx, pk > kx)
             kx = jnp.where(swap, pk, kx)
             vx = jnp.where(swap, pv, vx)
+            if tx is not None:
+                pt = _xor_partner(tx, d, SB)
+                tx = jnp.where(swap, pt, tx)
     # ---- segmented inclusive scan over duplicate runs ---------------------
     prev_k = _flat_shift(kx, 1, SB)
     flag = (posC == 0) | (kx != prev_k)
     v = vx
+    t = tx
     f = flag
     s = 1
     while s < C:
@@ -97,6 +107,9 @@ def _sort_reduce_body(kx, vx, C, SB, add_fn):
         f_in = _flat_shift(f, s, SB)
         beyond = posC < s
         v = jnp.where(f | beyond, v, add_fn(v_in, v))
+        if t is not None:
+            t_in = _flat_shift(t, s, SB)
+            t = jnp.where(f | beyond, t, t_in | t)
         f = f | f_in | beyond
         s *= 2
     # ---- run-end extraction ----------------------------------------------
@@ -106,8 +119,11 @@ def _sort_reduce_body(kx, vx, C, SB, add_fn):
     su = pltpu.roll(lu, SB - 1, 0)
     next_k = jnp.where(lane == 127, su, lu)
     run_end = (posC == C - 1) | (kx != next_k)
-    okeys = jnp.where(run_end & (kx != SENTINEL), kx,
-                      jnp.full(kx.shape, SENTINEL, jnp.int32))
+    keep = run_end & (kx != SENTINEL)
+    if tx is not None:
+        tok_bit = 1 if want_token else 0
+        keep = keep & ((t & 2) != 0) & ((t & 1) == tok_bit)
+    okeys = jnp.where(keep, kx, jnp.full(kx.shape, SENTINEL, jnp.int32))
     return okeys, v
 
 
@@ -151,6 +167,46 @@ def _kernel_fn(C, SB, monoid, val_dtype_name, logical, interpret):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=64)
+def _kernel_fn_tok(C, SB, monoid, val_dtype_name, logical, want_token,
+                   interpret):
+    """Compiled token-channel sort-reduce (the in-sort dot3 mask filter)."""
+    raw = monoid.op
+
+    if logical:
+        def add_fn(a, b):
+            return raw(a.astype(jnp.bool_),
+                       b.astype(jnp.bool_)).astype(jnp.int32)
+    else:
+        def add_fn(a, b):
+            return raw(a, b)
+
+    def kernel(k_ref, v_ref, t_ref, ok_ref, ov_ref):
+        ok, ov = _sort_reduce_body(k_ref[:], v_ref[:], C, SB, add_fn,
+                                   tx=t_ref[:], want_token=want_token)
+        ok_ref[:] = ok
+        ov_ref[:] = ov
+
+    grid_blk = pl.BlockSpec((SB, 128), lambda i: (i, 0))
+    vdt = jnp.dtype(val_dtype_name)
+
+    def run(keys, vals, toks):
+        S = keys.shape[0]
+        nblk = S // SB
+        f = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[grid_blk, grid_blk, grid_blk],
+            out_specs=[grid_blk, grid_blk],
+            out_shape=[jax.ShapeDtypeStruct((S, 128), jnp.int32),
+                       jax.ShapeDtypeStruct((S, 128), vdt)],
+            interpret=bool(interpret))
+        with jax.enable_x64(False):
+            return f(keys, vals, toks)
+
+    return jax.jit(run)
+
+
 def sort_reduce_rows(keys, vals, C, monoid, *, logical=False,
                      interpret=False):
     """Sort each C-aligned run of ``keys`` ascending (carrying ``vals``),
@@ -176,6 +232,32 @@ def sort_reduce_rows(keys, vals, C, monoid, *, logical=False,
     fn = _kernel_fn(C, SB, monoid, np.dtype(vals.dtype).name,
                     bool(logical), bool(interpret))
     ok, ov = fn(keys, vals)
+    if pad:
+        ok, ov = ok[:S], ov[:S]
+    return ok, ov
+
+
+def sort_reduce_rows_tok(keys, vals, toks, C, monoid, *, want_token=True,
+                         logical=False, interpret=False):
+    """sort_reduce_rows with a token channel: ``toks`` int32 carries 1 for
+    mask tokens, 2 for products, 0 for pads; a run's output survives only
+    if it contains a product and its token presence equals
+    ``want_token`` (False = complemented mask)."""
+    C = int(C)
+    S = keys.shape[0]
+    row_sub = max(C // 128, 1)
+    SB = row_sub * max(1, 512 // row_sub)
+    pad = (-S) % SB
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jnp.full((pad, 128), SENTINEL, jnp.int32)])
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((pad, 128), vals.dtype)])
+        toks = jnp.concatenate(
+            [toks, jnp.zeros((pad, 128), jnp.int32)])
+    fn = _kernel_fn_tok(C, SB, monoid, np.dtype(vals.dtype).name,
+                        bool(logical), bool(want_token), bool(interpret))
+    ok, ov = fn(keys, vals, toks)
     if pad:
         ok, ov = ok[:S], ov[:S]
     return ok, ov

@@ -40,7 +40,6 @@ import numpy as np
 from ..core import config as CFG
 from ..core.matrix import HYPER, INDEX, ROW, SPARSE, Matrix
 from ..core.types import cast
-from ..kernels import segment as K
 from ..kernels import sortreduce as SRD
 
 import os as _os
@@ -121,13 +120,16 @@ _pipe_cache = {}
 
 
 def _class_pipeline(C, Rc_pad, n, sr, kdt_name, logical, need_av,
-                    need_bv, mode_av, masked, mask_struct, mask_comp,
-                    interpret):
+                    need_bv, mode_av, masked, mask_comp, interpret):
     """Build (and cache) the jitted pipeline for one class signature.
     E_pad is NOT part of the signature — the entry arrays are plain
-    dynamic-length jit args, so only (C, Rc_pad) shape the executable."""
+    dynamic-length jit args, so only (C, Rc_pad) shape the executable.
+    With ``masked``, mask entries arrive as token runs past nnzB in BiX
+    (see spgemm_esc_fast) and the filter happens inside the sort —
+    no key lookups (the former binary search cost ~23 full-domain
+    gathers per class call)."""
     key = (C, Rc_pad, n, id(sr), kdt_name, logical, need_av,
-           need_bv, mode_av, masked, mask_struct, mask_comp, interpret)
+           need_bv, mode_av, masked, mask_comp, interpret)
     fn = _pipe_cache.get(key)
     if fn is not None:
         return fn
@@ -136,13 +138,13 @@ def _class_pipeline(C, Rc_pad, n, sr, kdt_name, logical, need_av,
     add = sr.add
     D = Rc_pad * C
 
-    def run(pos, p1, p2, rows64, flopc, Bi, Bv, mk, mv):
-        nnzB = Bi.shape[0]
+    def run(pos, p1, p2, flopc, Bi, Bv, nnzB_s):
+        nnzBx = Bi.shape[0]
         buf1 = jnp.full((D,), -1, jnp.int64).at[pos].max(p1, mode="drop")
         fil1 = jax.lax.cummax(buf1, axis=0)
         adjB = (fil1 & _LOW32) - _BIAS
         sidx = jnp.arange(D, dtype=jnp.int64)
-        b_pos = jnp.clip(adjB + sidx, 0, nnzB - 1)
+        b_pos = jnp.clip(adjB + sidx, 0, nnzBx - 1)
         cpos = jax.lax.broadcasted_iota(jnp.int32, (Rc_pad, C), 1)
         valid = (cpos < flopc[:, None]).reshape(-1)
         j = Bi[b_pos].astype(jnp.int32)
@@ -169,24 +171,21 @@ def _class_pipeline(C, Rc_pad, n, sr, kdt_name, logical, need_av,
         ident = jnp.asarray(add.identity_for(np.dtype(kdt_name)),
                             prod.dtype)
         keys = jnp.where(valid, j, SRD.SENTINEL)
-        if masked:
-            rows2 = jnp.broadcast_to(rows64[:, None],
-                                     (Rc_pad, C)).reshape(-1)
-            keys64 = rows2 * n + j.astype(jnp.int64)
-            found, posm = K.lookup_sorted(mk, keys64)
-            if mask_struct:
-                eff = found
-            else:
-                eff = found & (mv[posm] != 0) if mv.shape[0] else found
-            if mask_comp:
-                eff = ~eff
-            keys = jnp.where(eff & valid, keys,
-                             jnp.full(keys.shape, SRD.SENTINEL,
-                                      jnp.int32))
         prod = jnp.where(keys != SRD.SENTINEL, prod, ident)
-        ok, ov = SRD.sort_reduce_rows(
-            keys.reshape(D // 128, 128), prod.reshape(D // 128, 128),
-            C, add, logical=logical, interpret=interpret)
+        if masked:
+            tok = b_pos >= nnzB_s
+            prod = jnp.where(tok, ident, prod)
+            tx = jnp.where(valid, jnp.where(tok, 1, 2), 0) \
+                .astype(jnp.int32)
+            ok, ov = SRD.sort_reduce_rows_tok(
+                keys.reshape(D // 128, 128), prod.reshape(D // 128, 128),
+                tx.reshape(D // 128, 128), C, add,
+                want_token=not mask_comp, logical=logical,
+                interpret=interpret)
+        else:
+            ok, ov = SRD.sort_reduce_rows(
+                keys.reshape(D // 128, 128), prod.reshape(D // 128, 128),
+                C, add, logical=logical, interpret=interpret)
         okr = ok.reshape(Rc_pad, C)
         counts = jnp.sum(okr != SRD.SENTINEL, axis=1).astype(jnp.int64)
         return ok, ov, counts
@@ -232,19 +231,38 @@ def spgemm_esc_fast(Ar, Br, cumf, ip_h, row_cum_h, F, sr, zt, m, n, mask,
     _sdbg("host_arrays")
     masked = mask is not None and mask.fmt in (SPARSE, HYPER)
     if masked:
-        from .masker import _keys_of
-        mk, mv = _keys_of(mask.to_orient(ROW))
-        if desc.mask_structure:
-            mv = jnp.zeros(0, jnp.int64)
+        # mask entries become in-sort TOKENS (see sortreduce): each
+        # masked output row's class budget grows by its mask degree, and
+        # B's index array is extended with the mask's so token runs ride
+        # the same fill-forward expansion.  Valued masks filter to their
+        # effective structure here, once, on the host.
+        Mr = mask.to_format(SPARSE, ROW)
+        mip_h = np.asarray(Mr.indptr).astype(np.int64)
+        mi_h = np.asarray(Mr.indices)
+        if not desc.mask_structure:
+            mvals = np.asarray(Mr._vals_expanded())
+            keep = mvals != 0
+            if not keep.all():
+                kcum = np.zeros(mi_h.shape[0] + 1, np.int64)
+                np.cumsum(keep, out=kcum[1:])
+                mip_h = kcum[mip_h]
+                mi_h = mi_h[keep]
+        mdeg_all = np.diff(mip_h)
+        BiX = jnp.concatenate(
+            [Br.indices, jnp.asarray(mi_h.astype(INDEX))])
     else:
-        mk = jnp.zeros(0, jnp.int64)
-        mv = jnp.zeros(0, jnp.int64)
+        mip_h = None
+        mdeg_all = None
+        BiX = Br.indices
+    nnzB_real = int(Br.indices.shape[0])
     # block split on PADDED slot cost (a row pads to its sort-class cap,
     # so 1-flop rows cost 128 slots — raw-flop splitting could blow the
     # padded domain 128x); fallback rows (> top cap) cost raw flops
     flops_all = row_cum_h[1:] - row_cum_h[:-1]
+    load_all = flops_all if not masked else \
+        flops_all + np.where(flops_all > 0, mdeg_all, 0)
     caps = np.asarray(SRD.CAPS, np.int64)
-    cls_all = np.searchsorted(caps, flops_all)
+    cls_all = np.searchsorted(caps, load_all)
     pad_cost = np.where(
         cls_all < len(SRD.CAPS), caps[np.minimum(cls_all, len(caps) - 1)],
         flops_all)
@@ -264,7 +282,8 @@ def spgemm_esc_fast(Ar, Br, cumf, ip_h, row_cum_h, F, sr, zt, m, n, mask,
     for r0, r1 in zip(starts[:-1], starts[1:]):
         indptr_b, uidx, cv = _block(
             Ar, Br, hostA, ip_h, row_cum_h, r0, r1, sr, zt, n,
-            mk, mv, masked, desc, interpret, classic_block)
+            mip_h, BiX, nnzB_real, masked, desc, interpret,
+            classic_block)
         ips.append(np.diff(np.asarray(indptr_b)))
         idxs.append(uidx)
         cvs.append(cv)
@@ -279,14 +298,20 @@ def spgemm_esc_fast(Ar, Br, cumf, ip_h, row_cum_h, F, sr, zt, m, n, mask,
 
 
 def _block(Ar, Br, hostA, ip_h, row_cum_h, r0, r1, sr, zt, n,
-           mk, mv, masked, desc, interpret, classic_block):
+           mip_h, BiX, nnzB_real, masked, desc, interpret, classic_block):
     Ai_h, Avb_h, cumf_h, Bp_h = hostA
     kdt_np, logical = _kdt_for(sr, zt)
     kdt_name = np.dtype(kdt_np).name
     nb = r1 - r0
     flops_r = row_cum_h[r0 + 1:r1 + 1] - row_cum_h[r0:r1]
     deg_r = ip_h[r0 + 1:r1 + 1] - ip_h[r0:r1]
-    cls = np.searchsorted(np.asarray(SRD.CAPS, np.int64), flops_r)
+    if masked:
+        mdeg_r = mip_h[r0 + 1:r1 + 1] - mip_h[r0:r1]
+        load_r = flops_r + mdeg_r
+    else:
+        mdeg_r = None
+        load_r = flops_r
+    cls = np.searchsorted(np.asarray(SRD.CAPS, np.int64), load_r)
     cls[flops_r == 0] = -1
 
     mname = sr.mult.name
@@ -295,11 +320,18 @@ def _block(Ar, Br, hostA, ip_h, row_cum_h, r0, r1, sr, zt, n,
                "second" if mname == "GrB_SECOND" else "general")
     need_av = mode_av in ("first", "general")
     need_bv = mode_av in ("second", "general")
-    Bv_dev = (Br._vals_expanded().astype(kdt_np) if need_bv
-              else jnp.zeros(0, kdt_np))
+    if need_bv:
+        Bv_dev = Br._vals_expanded().astype(kdt_np)
+        if masked:
+            # token b_pos indexes past nnzB: extend with identity slots
+            Bv_dev = jnp.concatenate(
+                [Bv_dev, jnp.zeros((int(BiX.shape[0]) - nnzB_real,),
+                                   kdt_np)])
+    else:
+        Bv_dev = jnp.zeros(0, kdt_np)
 
     counts_by_row = jnp.zeros((nb,), jnp.int64)
-    streams = []          # (uvec, jk, vk, rowidx, cstart)
+    streams = []          # (ok, ov, sel, C, Rc) padded class outputs
 
     for ci, C in enumerate(SRD.CAPS):
         sel = np.flatnonzero(cls == ci)
@@ -309,8 +341,17 @@ def _block(Ar, Br, hostA, ip_h, row_cum_h, r0, r1, sr, zt, n,
         Rc = sel.size
         Rc_pad = _pow2_at_least(Rc)
         counts = deg_r[sel]
-        E = int(counts.sum())
         starts = ip_h[rows_c]
+        if masked:
+            # one extra pseudo-entry per row with mask entries: its run
+            # is the row's token slots [flops, flops+mdeg), reading
+            # column ids from the mask region of BiX
+            has_tok = (mdeg_r[sel] > 0).astype(np.int64)
+            counts2 = counts + has_tok
+        else:
+            has_tok = None
+            counts2 = counts
+        E = int(counts.sum())
         cum0 = np.zeros(Rc, np.int64)
         np.cumsum(counts[:-1], out=cum0[1:])
         within = np.arange(E, dtype=np.int64) - np.repeat(cum0, counts)
@@ -322,10 +363,24 @@ def _block(Ar, Br, hostA, ip_h, row_cum_h, r0, r1, sr, zt, n,
             "spgemm-fast: padded class domain exceeds payload bias"
         ka = Ai_h[e_idx]
         adjB = Bp_h[ka] - pos + _BIAS
-        loc = np.arange(1, E + 1, dtype=np.int64) << 32
+        # run-start ranks must ascend with pos; tokens slot in after
+        # their row's products
+        cum2 = np.zeros(Rc, np.int64)
+        np.cumsum(counts2[:-1], out=cum2[1:])
+        loc = (cum2[rowslot] + within + 1) << 32
         packed1 = loc | adjB
         packed2 = (loc | Avb_h[e_idx]) if need_av \
             else np.zeros(0, np.int64)
+        if masked and has_tok.any():
+            tsel = np.flatnonzero(has_tok)
+            pos_t = tsel * C + flops_r[sel[tsel]]
+            adjB_t = (nnzB_real + mip_h[rows_c[tsel]]) - pos_t + _BIAS
+            loc_t = (cum2[tsel] + counts[tsel] + 1) << 32
+            pos = np.concatenate([pos, pos_t])
+            packed1 = np.concatenate([packed1, loc_t | adjB_t])
+            if need_av:
+                packed2 = np.concatenate([packed2, loc_t])
+            E += tsel.size
         # pad entry arrays to pow2 buckets so jit executables are shared
         # across blocks (pads scatter packed=-1 at slot 0: never wins)
         E_pad = _pow2_at_least(max(E, 1), lo=1 << 10)
@@ -336,20 +391,17 @@ def _block(Ar, Br, hostA, ip_h, row_cum_h, r0, r1, sr, zt, n,
             if need_av:
                 packed2 = np.concatenate(
                     [packed2, np.full(pw, -1, np.int64)])
-        rows64 = np.zeros(Rc_pad, np.int64)
-        rows64[:Rc] = rows_c
         flopc = np.zeros(Rc_pad, np.int32)
-        flopc[:Rc] = flops_r[sel]
+        flopc[:Rc] = load_r[sel]
 
         fn = _class_pipeline(C, Rc_pad, n, sr, kdt_name, logical,
                              need_av, need_bv, mode_av, masked,
-                             bool(desc.mask_structure),
                              bool(desc.mask_complement), interpret)
         _sdbg(f"class C={C} host prep (E={E})")
         ok, ov, counts_c = fn(
             jnp.asarray(pos), jnp.asarray(packed1), jnp.asarray(packed2),
-            jnp.asarray(rows64), jnp.asarray(flopc),
-            Br.indices, Bv_dev, mk, mv)
+            jnp.asarray(flopc), BiX, Bv_dev,
+            jnp.int64(nnzB_real))
         _sdbg(f"class C={C} pipeline", counts_c)
         counts_c = counts_c[:Rc]
         counts_by_row = counts_by_row.at[jnp.asarray(sel)].set(counts_c)

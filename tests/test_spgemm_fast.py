@@ -114,3 +114,26 @@ def test_fast_tier_first_second(skewed):
             s2 = slice(Si.indptr[k], Si.indptr[k + 1])
             np.maximum.at(res2[i], Si.indices[s2], Si.data[s2])
     assert (np.where(present, got2, 0) == np.where(present, res2, 0)).all()
+
+
+def test_fast_tier_valued_mask(skewed):
+    """Non-structural mask: zero-valued mask entries are NOT in the
+    effective mask (reference: GB_AxB_dot3 with M not structural)."""
+    S = skewed
+    n = S.shape[0]
+    rng = np.random.default_rng(11)
+    Ref = (S @ S).astype(np.float32).tocsr()
+    M = Ref.copy()
+    M.data = rng.integers(0, 2, M.nnz).astype(np.float32)  # half zeros
+    A = gb.Matrix.from_scipy(S)
+    Mg = gb.Matrix.from_scipy(M)
+    C = gb.mxm(A, A, gb.semiring.PLUS_TIMES, mask=Mg)
+    Meff = M.copy()
+    Meff.eliminate_zeros()
+    want = Ref.multiply(Meff.astype(bool))
+    assert _err(C.to_scipy(), want) < 1e-4
+    # complemented valued mask
+    Cc = gb.mxm(A, A, gb.semiring.PLUS_TIMES, mask=Mg,
+                desc=Descriptor(mask_complement=True))
+    wantc = Ref - Ref.multiply(Meff.astype(bool))
+    assert _err(Cc.to_scipy(), wantc) < 1e-4
