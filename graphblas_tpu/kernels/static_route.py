@@ -40,6 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils import native
+
 
 # ---------------------------------------------------------------------------
 # plan time: Benes routing (batched over independent columns)
@@ -277,6 +279,9 @@ def monotone_pack_plan(marked, R, L=128):
     T, K = marked.shape
     nb = int(np.log2(R))
     assert (1 << nb) == R and nb <= 16
+    fast = native.monotone_pack(marked, R)
+    if fast is not None:
+        return fast
     tt = np.repeat(np.arange(T, dtype=np.int64), K)
     mm = marked.reshape(-1)
     s_of = mm >> 7

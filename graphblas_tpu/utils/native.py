@@ -77,6 +77,15 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int8)]
+        if hasattr(lib, "gbtpu_monotone_pack"):
+            lib.gbtpu_monotone_pack.restype = ctypes.c_int
+            lib.gbtpu_monotone_pack.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int8)]
         lib.gbtpu_mtx_read.restype = ctypes.c_int
         lib.gbtpu_mtx_read.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
@@ -482,6 +491,33 @@ def gather_finalize(key, slot, counts, vv, hi, W: int, RBL: int):
         _ptr(hi_arr, ctypes.c_int8), _ptr(val_arr, ctypes.c_float),
         _ptr(pos, ctypes.c_int64))
     return hi_arr, val_arr, pos
+
+
+def monotone_pack(marked: np.ndarray, R: int):
+    """Native monotone-concentrator plan: marked (T, K) int64 sorted raster
+    positions.  Returns (lidx int8 (T*R,128), bits int32 (T*R,128)) or None
+    when the native library is unavailable.  Raises ValueError on collision
+    or non-convergence (matching the numpy planner's behavior)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_monotone_pack"):
+        return None
+    marked = np.ascontiguousarray(marked, np.int64)
+    T, K = marked.shape
+    lidx = np.empty((T * R, 128), np.int8)
+    bits = np.empty((T * R, 128), np.int32)
+    q = np.empty(T * K, np.int32)
+    stamp = np.empty(T * R * 128, np.int8)
+    rc = lib.gbtpu_monotone_pack(
+        _ptr(marked, ctypes.c_int64), T, K, R,
+        _ptr(lidx, ctypes.c_int8), _ptr(bits, ctypes.c_int32),
+        _ptr(q, ctypes.c_int32), _ptr(stamp, ctypes.c_int8))
+    if rc == -1:
+        raise ValueError("monotone_pack_plan: collision")
+    if rc == -2:
+        raise ValueError("monotone_pack_plan: did not converge")
+    if rc != 0:
+        return None
+    return lidx, bits
 
 
 def clos_route_tiles(perm: np.ndarray, R: int):

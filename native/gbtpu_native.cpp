@@ -18,11 +18,29 @@
 
 #include <algorithm>
 #include <cctype>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <vector>
 #include <cstring>
 #include <vector>
+
+// Env-gated phase timing (GBTPU_TIMING=1): prints per-phase seconds for the
+// plan-build hot paths so regressions are visible without a profiler.
+static inline double gbtpu_now() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+static inline bool gbtpu_timing() {
+  static int v = -1;
+  if (v < 0) {
+    const char* e = std::getenv("GBTPU_TIMING");
+    v = (e && e[0] == '1') ? 1 : 0;
+  }
+  return v == 1;
+}
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -499,8 +517,10 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
   std::vector<int16_t> cur16(N), inv16(R), child16(R);
   std::vector<int8_t> col8(R);
   std::vector<int32_t> bits_loc(N);
+  double t_comp = 0, t_euler = 0, t_emit = 0, t_benes = 0, t_tr = 0;
 
   for (int64_t t = 0; t < T; ++t) {
+    double tp = gbtpu_timing() ? gbtpu_now() : 0;
     int32_t* p0 = perm + t * N;
     // -- complete the partial permutation (free dst <- unused src, in order)
     std::memset(used.data(), 0, N);
@@ -516,6 +536,7 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
     }
     std::memcpy(pA.data(), p0, (size_t)N * 4);
     for (int64_t e = 0; e < N; ++e) dA[e] = (int8_t)(e & 127);
+    if (gbtpu_timing()) { double q = gbtpu_now(); t_comp += q - tp; tp = q; }
 
     // -- recursive Euler split with physical partitioning
     int32_t* pc = pA.data();
@@ -579,6 +600,7 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
       width /= 2;
       bsz /= 2;
     }
+    if (gbtpu_timing()) { double q = gbtpu_now(); t_euler += q - tp; tp = q; }
     // edges now lane-major: block l (size R) = edges assigned lane l;
     // dst row of local edge e is e (width == 1)
     int8_t* ii = idx_in + t * N;
@@ -594,8 +616,10 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
         io[(e << 7) + db[e]] = (int8_t)l;
       }
     }
+    if (gbtpu_timing()) { double q = gbtpu_now(); t_emit += q - tp; tp = q; }
     benes_columns_i16(cur16.data(), L, R, bits_loc.data(), inv16.data(),
                       child16.data(), col8.data());
+    if (gbtpu_timing()) { double q = gbtpu_now(); t_benes += q - tp; tp = q; }
     // bits_loc is (lane, R); executor wants (R, lane) — blocked transpose
     int32_t* bt = bits + t * N;
     const int64_t BS = 64;
@@ -607,7 +631,65 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
           for (int64_t r = r0; r < r1; ++r)
             bt[(r << 7) + l] = bits_loc[l * R + r];
       }
+    if (gbtpu_timing()) { double q = gbtpu_now(); t_tr += q - tp; tp = q; }
   }
+  if (gbtpu_timing())
+    std::fprintf(stderr,
+                 "[gbtpu] clos_route_tiles T=%lld R=%lld: complete %.2fs "
+                 "euler %.2fs emit %.2fs benes %.2fs transpose %.2fs\n",
+                 (long long)T, (long long)R, t_comp, t_euler, t_emit, t_benes,
+                 t_tr);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// monotone_pack: native plan for the 2-step monotone concentrator
+// (static_route.monotone_pack_plan).  Element e of tile t (sorted raster
+// positions marked[t*K + k], k-th marked -> raster position k) gets one
+// stage-1 lane-gather index and log2(R) LSB-first sublane-shift mask bits.
+// Replaces the numpy version whose per-level np.unique sorts and E-sized
+// boolean scatters dominated plan build.  Collision detection: stamp[pos]
+// records the last level that occupied pos; seeing stamp[pos]==b twice in
+// level b means two elements collided (returns -1; the caller falls back
+// to the full Clos route).  Returns 0 on success, -2 on non-convergence.
+// ---------------------------------------------------------------------------
+int gbtpu_monotone_pack(const int64_t* marked, int64_t T, int64_t K,
+                        int64_t R, int8_t* lidx, int32_t* bits,
+                        int32_t* q_scratch, int8_t* stamp) {
+  const int64_t L = 128;
+  int nb = 0;
+  while ((1LL << nb) < R) ++nb;
+  if ((1LL << nb) != R || nb > 15) return -3;
+  const int64_t E = T * K;
+  std::memset(lidx, 0, (size_t)T * R * L);
+  std::memset(bits, 0, (size_t)T * R * L * 4);
+  std::memset(stamp, -1, (size_t)T * R * L);
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t t = e / K, k = e % K;
+    const int64_t mm = marked[e];
+    const int64_t s_of = mm >> 7;
+    lidx[((t * R + s_of) << 7) + (k & 127)] = (int8_t)(mm & 127);
+    q_scratch[e] = (int32_t)s_of;
+  }
+  for (int b = 0; b < nb; ++b) {
+    for (int64_t e = 0; e < E; ++e) {
+      const int64_t t = e / K, k = e % K;
+      const int64_t dest_sub = k >> 7, dest_lane = k & 127;
+      int64_t q = q_scratch[e];
+      const int delta = (int)((dest_sub >> b) & 1) - (int)((q >> b) & 1);
+      const int64_t newq = q + (int64_t)delta * (1LL << b);
+      const int64_t pos = ((t * R + newq) << 7) + dest_lane;
+      if (stamp[pos] == (int8_t)b) return -1;
+      stamp[pos] = (int8_t)b;
+      if (delta < 0)
+        bits[pos] |= (int32_t)(1 << b);
+      else if (delta > 0)
+        bits[pos] |= (int32_t)(1 << (nb + b));
+      q_scratch[e] = (int32_t)newq;
+    }
+  }
+  for (int64_t e = 0; e < E; ++e)
+    if (q_scratch[e] != (int32_t)((e % K) >> 7)) return -2;
   return 0;
 }
 
