@@ -70,6 +70,7 @@ def _route_tier(S, n):
         except Exception:
             pass
     plan_s = time.perf_counter() - t0
+    plan = SPRT.plan_to_device(plan)
 
     scale = jnp.float32(1.0 / 16)
 

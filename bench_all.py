@@ -64,6 +64,7 @@ def main():
         plan = SPRT.SpmvRoutePlan(S.indptr, S.indices, S.data, (n, n))
         SPRT.save_plan(plan, plan_path)
     plan_s = time.perf_counter() - t0
+    plan = SPRT.plan_to_device(plan)
     K = 60
     x0 = jnp.asarray((rng.standard_normal(n) * 1e-3).astype(np.float32))
 
@@ -105,6 +106,7 @@ def main():
         ix = np.asarray(At.indices)
         tplan = SPRT.SpmvRoutePlan(ip, ix, np.ones(nnz, np.float32), (n, n))
         SPRT.save_plan(tplan, tplan_path)
+    tplan = SPRT.plan_to_device(tplan)
     GALG._pattern_plans.clear()
     GALG._pattern_plans[(id(At.indptr), id(At.indices), At.shape)] = (
         At.indptr, At.indices, tplan)

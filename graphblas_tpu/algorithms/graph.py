@@ -210,6 +210,8 @@ def bfs_levels_fused(A: Matrix, source: int, optimize=False):
         # bench-scale plans blow the remote-compile payload limit); the
         # jitted runner is cached per n so repeat calls reuse the compiled
         # executable instead of re-tracing a fresh closure
+        from ..kernels import spmv_route as _SPRT
+        plan = _SPRT.plan_to_device(plan)
         return _routed_bfs_fn(A.nrows)(jnp.int32(source), plan)
     Ar = A.to_format(SPARSE, ROW)
     return _bfs_fused_kernel(Ar.indptr, Ar.indices, jnp.int32(source),
@@ -283,6 +285,8 @@ def pagerank_fused(A: Matrix, damping=0.85, tol=1e-6, max_iter=100,
     At = A.to_format(SPARSE, COL)  # A in CSC == A' in CSR
     plan = _pattern_route_plan(At, build=optimize)
     if plan is not None:
+        from ..kernels import spmv_route as _SPRT
+        plan = _SPRT.plan_to_device(plan)
         run = _routed_pr_fn(A.nrows, float(damping), float(tol),
                             int(max_iter))
         r, iters, _ = run(plan, outdeg)

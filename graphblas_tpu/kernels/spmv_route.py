@@ -381,8 +381,8 @@ class SpmvRoutePlan:
     chunks append past m, and the final y adds them back with one tiny
     scatter-add (extra chunks are few)."""
 
-    __slots__ = ("g", "gp", "sel_lidx", "sel_bits",
-                 "T", "TR", "YT_ROWS", "m", "m_sub", "n", "extra_owner")
+    __slots__ = ("g", "gp", "sel_lidx", "sel_bits", "T", "TR", "YT_ROWS",
+                 "m", "m_sub", "n", "extra_owner", "_device")
 
     def __init__(self, indptr, indices, values, shape):
         m0, n = shape
@@ -587,6 +587,24 @@ _register_plan_pytrees()
 # plan cache + serialization (the plan is a storage format: reference
 # analog GxB pack/unpack move semantics + the hyper-hash built per matrix)
 # ---------------------------------------------------------------------------
+
+def plan_to_device(plan: "SpmvRoutePlan") -> "SpmvRoutePlan":
+    """Device-resident copy of a plan (leaves as committed jax Arrays),
+    cached on the plan object.  Plans load as lazily-mmapped numpy; numpy
+    leaves passed to a jitted function are re-transferred host->device on
+    EVERY call (seconds per call over a remote-TPU tunnel at bench scale).
+    device_put once, then every algorithm/bench call reuses the resident
+    copy.  (reference analog: GxB pack move semantics — the plan lives
+    where the compute is, Source/GB_import.c)"""
+    dp = getattr(plan, "_device", None)
+    if dp is None:
+        leaves, treedef = jax.tree_util.tree_flatten(plan)
+        dp = jax.tree_util.tree_unflatten(
+            treedef, [jax.device_put(np.asarray(l)) for l in leaves])
+        object.__setattr__(plan, "_device", dp)
+        object.__setattr__(dp, "_device", dp)
+    return dp
+
 
 _plan_cache: dict = {}
 

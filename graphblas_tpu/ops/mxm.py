@@ -404,6 +404,7 @@ def spmv_arrays(indptr, indices, values, x, m: int):
             rp = spmv_route.plan_for(indptr, indices, values,
                                      (m, int(x.shape[0])), build=False)
             if rp is not None:
+                rp = spmv_route.plan_to_device(rp)
                 return spmv_route.spmv_route(x.astype(jnp.float32), rp)
         except Exception:  # pragma: no cover - fall back
             pass
