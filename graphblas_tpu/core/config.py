@@ -67,6 +67,18 @@ def init(mode: str = "nonblocking", compilation_cache_dir: str | None = None
                 "~/.graphblas_tpu/xla_cache")
     if compilation_cache_dir:
         import jax
+        # Partition the cache by backend platform: XLA:CPU AOT blobs carry
+        # machine-feature lists and loading one written under a different
+        # platform/flag set SIGSEGVs outright (observed: entries written
+        # while the remote-TPU plugin was engaged, loaded by a cpu-only
+        # test run).  One subdirectory per platform keeps every entry
+        # loadable by the process that wrote it.
+        try:
+            platform = jax.default_backend()
+        except Exception:  # pragma: no cover - backend init failure
+            platform = "unknown"
+        compilation_cache_dir = os.path.join(
+            str(compilation_cache_dir), platform)
         os.makedirs(compilation_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir",
                           str(compilation_cache_dir))

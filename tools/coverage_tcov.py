@@ -90,6 +90,8 @@ def main():
             pct = 100.0 * len(cov) / len(exe) if exe else 100.0
             report[rel] = {"covered": len(cov), "total": len(exe),
                            "pct": round(pct, 1)}
+            if os.environ.get("GBTPU_COV_MISSING"):
+                report[rel]["missing"] = sorted(exe - cov)
             tot_cov += len(cov)
             tot_all += len(exe)
     total_pct = 100.0 * tot_cov / max(tot_all, 1)
