@@ -161,6 +161,22 @@ def main():
     S.sum_duplicates()
     nnz = S.nnz
 
+    # cold vs warm dispatch: the persistent-compilation-cache payoff
+    # (reference analog: PreJIT kernels skipping the JIT compile,
+    # Source/GB_jitifyer.c).  Cold = first jit of a tiny probe fn this
+    # process (cache-dir hit if a previous run populated it), warm = the
+    # executable-cache hit path.
+    import jax
+    import jax.numpy as jnp
+    probe = jax.jit(lambda v: jnp.cumsum(v * 2.0) + 1.0)
+    xp = jnp.ones(1024, jnp.float32)
+    t0 = time.perf_counter()
+    _ = float(np.asarray(jnp.sum(probe(xp))))
+    dispatch_cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = float(np.asarray(jnp.sum(probe(xp))))
+    dispatch_warm_s = time.perf_counter() - t0
+
     extras = {}
     try:
         dt, plan_s, err = _route_tier(S, n)
@@ -184,6 +200,8 @@ def main():
         "unit": "Gnnz/s",
         "vs_baseline": round(gnnz / BASELINE_GNNZ_S, 3),
         "roofline_frac": round(ideal_s / dt, 4),
+        "dispatch_cold_s": round(dispatch_cold_s, 3),
+        "dispatch_warm_s": round(dispatch_warm_s, 3),
         **extras,
     }))
 

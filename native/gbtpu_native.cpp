@@ -510,9 +510,10 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
   // only the dst LANE byte rides along.
   std::vector<int32_t> pA(N), pB(N);
   std::vector<int8_t> dA(N), dB(N);
-  std::vector<int32_t> order(N), mateA(N);
+  std::vector<int32_t> mateA(N);
   std::vector<int8_t> color(N);
-  std::vector<int32_t> cnt(R + 1);
+  std::vector<int32_t> pend(R), pend_ep(R, 0);
+  int64_t pend_epoch = 0;
   std::vector<uint8_t> used(N);
   std::vector<int16_t> cur16(N), inv16(R), child16(R);
   std::vector<int8_t> col8(R);
@@ -551,22 +552,28 @@ int gbtpu_clos_route_tiles(int32_t* perm, int64_t T, int64_t R,
         const int64_t off = b * bsz;
         const int32_t* pb = pc + off;
         const int8_t* db = dc + off;
-        // pair at equal src rows (counting sort).  The dst side needs no
-        // sort: db stays ascending within every block (dA starts as the
-        // identity and the partition below is stable), each dst row's
-        // edges form an even-length, even-aligned run, so the dst mate of
-        // edge e is simply e^1.
+        // pair at equal src rows: consecutive same-row edges in block
+        // order pair up (each row's edge count per block is even), via an
+        // epoch-stamped pending slot — one pass, no counting sort.  The
+        // dst side needs no pairing state at all: db stays ascending
+        // within every block (dA starts as the identity and the partition
+        // below is stable), each dst row's edges form an even-length,
+        // even-aligned run, so the dst mate of edge e is simply e^1.
         {
           const int32_t* pos = pb;
           int32_t* mate = mateA.data();
-          std::memset(cnt.data(), 0, (size_t)(R + 1) * 4);
-          for (int64_t e = 0; e < bsz; ++e) cnt[(pos[e] >> 7) + 1]++;
-          for (int64_t k = 0; k < R; ++k) cnt[k + 1] += cnt[k];
-          for (int64_t e = 0; e < bsz; ++e)
-            order[cnt[pos[e] >> 7]++] = (int32_t)e;
-          for (int64_t i = 0; i < bsz; i += 2) {
-            mate[order[i]] = order[i + 1];
-            mate[order[i + 1]] = order[i];
+          const int32_t ep = (int32_t)(++pend_epoch);
+          for (int64_t e = 0; e < bsz; ++e) {
+            const int32_t r = pos[e] >> 7;
+            if (pend_ep[r] == ep) {
+              const int32_t o = pend[r];
+              mate[o] = (int32_t)e;
+              mate[e] = o;
+              pend_ep[r] = ep - 1;
+            } else {
+              pend[r] = (int32_t)e;
+              pend_ep[r] = ep;
+            }
           }
         }
         // 2-color alternating Euler cycles (dst mate = q^1)
