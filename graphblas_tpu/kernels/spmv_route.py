@@ -382,7 +382,8 @@ class SpmvRoutePlan:
     scatter-add (extra chunks are few)."""
 
     __slots__ = ("g", "gp", "sel_lidx", "sel_bits", "T", "TR", "YT_ROWS",
-                 "m", "m_sub", "n", "extra_owner", "_device")
+                 "m", "m_sub", "n", "extra_owner", "_device",
+                 "lastidx8", "samerow8", "cg_stages")
 
     def __init__(self, indptr, indices, values, shape):
         m0, n = shape
@@ -524,6 +525,36 @@ class SpmvRoutePlan:
         _dbg("sel pack done")
         self.sel_lidx = jnp.asarray(lidx)
         self.sel_bits = jnp.asarray(bits)
+        # ---- exact-reduce side data --------------------------------------
+        # The reduce differences a GLOBAL raster cumsum at row-end
+        # sentinels; at 2M-slot tiles the running prefix dwarfs individual
+        # row sums and cancellation costs ~sqrt(tile) ulps (measured 3e-3
+        # relerr on the 2^24 zipf demo).  Fix: keep the float cumsum LOCAL
+        # to each 128-lane sublane row, and carry row remainders across
+        # sublane rows through a short (tail, no-sentinel) chain whose
+        # magnitudes stay row-sized.  Per-slot plan data: the lane of the
+        # last sentinel in each sublane row (-1 if none) and, in packed
+        # space, whether a sentinel shares its sublane row with its
+        # predecessor (then its row sum is a LOCAL difference).
+        subrow = (sent_slot >> 7).astype(np.int64)           # (T, Y_T)
+        lane_s = (sent_slot & 127).astype(np.int8)
+        keyr = (np.arange(T, dtype=np.int64)[:, None] * TR + subrow)
+        kf, lf = keyr.reshape(-1), lane_s.reshape(-1)
+        lastpos = np.flatnonzero(
+            np.diff(kf, append=kf[-1] + 1) != 0)             # keyr sorted
+        lastlane = np.full(T * TR, -1, np.int8)
+        lastlane[kf[lastpos]] = lf[lastpos]
+        self.lastidx8 = jnp.asarray(
+            np.ascontiguousarray(
+                np.broadcast_to(lastlane[:, None], (T * TR, 128))))
+        same = np.zeros((T, Y_T), np.int8)
+        same[:, 1:] = subrow[:, 1:] == subrow[:, :-1]
+        self.samerow8 = jnp.asarray(same.reshape(T * YT_ROWS, 128))
+        gaps = np.diff(subrow, axis=1)
+        need = int(max(gaps.max() if gaps.size else 0,
+                       subrow[:, 0].max() + 1))
+        self.cg_stages = 0 if need <= 1 else int(np.ceil(np.log2(need)))
+        _dbg("exact-reduce side data done")
 
 
 # ---------------------------------------------------------------------------
@@ -566,14 +597,17 @@ def _register_plan_pytrees():
 
     def flat_plan(p):
         return ((p.g, p.gp, p.sel_lidx, p.sel_bits,
-                 p.extra_owner),
-                (p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n))
+                 p.extra_owner, getattr(p, "lastidx8", None),
+                 getattr(p, "samerow8", None)),
+                (p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n,
+                 getattr(p, "cg_stages", 0)))
 
     def unflat_plan(aux, leaves):
         p = object.__new__(SpmvRoutePlan)
         (p.g, p.gp, p.sel_lidx, p.sel_bits,
-         p.extra_owner) = leaves
-        p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n = aux
+         p.extra_owner, p.lastidx8, p.samerow8) = leaves
+        (p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n,
+         p.cg_stages) = aux
         return p
 
     jax.tree_util.register_pytree_node(SpmvRoutePlan, flat_plan,
@@ -683,6 +717,11 @@ def _plan_blob(plan):
     blob["extra_owner"] = (np.asarray(plan.extra_owner)
                            if plan.extra_owner is not None
                            else np.zeros(0, np.int32))
+    if getattr(plan, "lastidx8", None) is not None:
+        # store the per-sublane-row lane index UNbroadcast (128x smaller)
+        blob["sel_last"] = np.asarray(plan.lastidx8)[:, 0]
+        blob["sel_same"] = np.asarray(plan.samerow8)
+        blob["p_cg_stages"] = np.int64(plan.cg_stages)
     return blob
 
 
@@ -731,6 +770,17 @@ def load_plan(path) -> "SpmvRoutePlan":
     plan.g = g
     eo = z["extra_owner"]
     plan.extra_owner = jnp.asarray(eo) if eo.size else None
+    try:
+        lastlane = np.asarray(z["sel_last"])
+        plan.lastidx8 = jnp.asarray(np.ascontiguousarray(
+            np.broadcast_to(lastlane[:, None], (lastlane.shape[0], 128))))
+        plan.samerow8 = jnp.asarray(z["sel_same"])
+        plan.cg_stages = int(z["p_cg_stages"])
+    except (KeyError, FileNotFoundError):
+        # legacy plan (pre exact-reduce): old differencing kernel
+        plan.lastidx8 = None
+        plan.samerow8 = None
+        plan.cg_stages = 0
     return plan
 
 
@@ -782,6 +832,62 @@ def _phase2ext_kernel(x_ref, ii_ref, bits_ref, io_ref,
     y_ref[:] = sel - prev
 
 
+def _phase2ext_exact_kernel(x_ref, ii_ref, bits_ref, io_ref,
+                            slidx_ref, sb_ref, li_ref, sr_ref, y_ref,
+                            *, dists, R, rows_in, YT_ROWS, TR, cg_stages):
+    """Exact-reduce variant: the float cumsum stays LOCAL to each 128-lane
+    sublane row; cross-row mass rides a (tail, no-sentinel) linear-
+    recurrence chain whose terms are row-sized, so row sums never
+    difference two tile-scale prefixes (relerr ~eps*row instead of
+    ~eps*sqrt(tile-elems)).  li: lane of last row-end sentinel per sublane
+    row (-1 = none, broadcast over lanes); sr: packed-space flag, sentinel
+    shares its sublane row with its predecessor."""
+    x = x_ref[:].reshape(rows_in, 128)
+    if rows_in < R:
+        x = jnp.concatenate(
+            [x, jnp.zeros((R - rows_in, 128), x.dtype)], axis=0)
+    x = jnp.take_along_axis(x, ii_ref[:].astype(jnp.int32), axis=1)
+    x = SRT._benes_stages(x, bits_ref[:], dists, R)
+    x = jnp.take_along_axis(x, io_ref[:].astype(jnp.int32), axis=1)
+    tile = x[: TR, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+    # per-sublane-row inclusive lane cumsum (local prefixes only)
+    L = tile
+    k = 1
+    while k < 128:
+        L = L + jnp.where(lane >= k, pltpu.roll(L, k, 1), 0.0)
+        k *= 2
+    li = li_ref[:]
+    anys = (li >= 0)
+    lastL = jnp.take_along_axis(
+        L, jnp.maximum(li, 0).astype(jnp.int32), axis=1)
+    rowtot = jax.lax.broadcast_in_dim(L[:, 127], L.shape, (0,))
+    tail = rowtot - jnp.where(anys, lastL, 0.0)   # mass after last sentinel
+    g = jnp.where(anys, 0.0, 1.0)
+    # carry chain c_r = tail_r + g_r * c_{r-1}; cg_stages covers the
+    # longest sentinel-free sublane-row run (0 stages when every row has
+    # a sentinel — the common short-row case)
+    c = tail
+    for s in range(cg_stages):
+        k = 1 << s
+        c = c + g * jnp.where(rowi >= k, pltpu.roll(c, k, 0), 0.0)
+        g = g * jnp.where(rowi >= k, pltpu.roll(g, k, 0), 1.0)
+    carry = jnp.where(rowi >= 1, pltpu.roll(c, 1, 0), 0.0)
+    # inject the carry into the whole row: first-in-row sentinels read
+    # carry + local prefix directly; later sentinels difference two values
+    # sharing the carry (both row-local in magnitude)
+    Lp = L + carry
+    cs = jnp.take_along_axis(Lp, slidx_ref[:].astype(jnp.int32), axis=1)
+    cs = SRT._pack_stages(cs, sb_ref[:], TR)
+    sel = cs[:YT_ROWS, :]
+    a = pltpu.roll(sel, 1, 1)
+    b = pltpu.roll(a, 1, 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
+    prev = jnp.where(lane2 == 0, b, a)
+    y_ref[:] = sel - jnp.where(sr_ref[:] != 0, prev, 0.0)
+
+
 def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
     """y = A @ x (plus-times fp32) through the routing engine.
     ``interpret=None`` auto-selects interpret mode on the CPU backend so
@@ -821,26 +927,40 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
         interpret=interpret,
         compiler_params=cp,
     )
-    k2 = functools.partial(_phase2ext_kernel, dists=gp.dists2, R=R2,
-                           rows_in=T2 * rows_pp, YT_ROWS=plan.YT_ROWS,
-                           TR=TR)
+    exact = getattr(plan, "lastidx8", None) is not None
+    specs2 = [
+        pl.BlockSpec((T2, 1, rows_pp, 128), lambda t: (0, t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R2, 128), lambda t: (t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R2, 128), lambda t: (t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R2, 128), lambda t: (t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, 128), lambda t: (t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, 128), lambda t: (t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if exact:
+        k2 = functools.partial(_phase2ext_exact_kernel, dists=gp.dists2,
+                               R=R2, rows_in=T2 * rows_pp,
+                               YT_ROWS=plan.YT_ROWS, TR=TR,
+                               cg_stages=plan.cg_stages)
+        specs2 += [
+            pl.BlockSpec((TR, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan.YT_ROWS, 128), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        k2 = functools.partial(_phase2ext_kernel, dists=gp.dists2, R=R2,
+                               rows_in=T2 * rows_pp, YT_ROWS=plan.YT_ROWS,
+                               TR=TR)
     phase2 = pl.pallas_call(
         k2,
         grid=(T2,),
-        in_specs=[
-            pl.BlockSpec((T2, 1, rows_pp, 128), lambda t: (0, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R2, 128), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R2, 128), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R2, 128), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 128), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 128), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs2,
         out_specs=pl.BlockSpec((plan.YT_ROWS, 128), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T2 * plan.YT_ROWS, 128),
@@ -851,8 +971,13 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
     with jax.enable_x64(False):
         mid = phase1(xp, gp.ii1, gp.bits1, gp.io1)
         mid4 = mid.reshape(T2, T2, rows_pp, 128)
-        y = phase2(mid4, gp.ii2, gp.bits2, gp.io2,
-                   plan.sel_lidx, plan.sel_bits)
+        if exact:
+            y = phase2(mid4, gp.ii2, gp.bits2, gp.io2,
+                       plan.sel_lidx, plan.sel_bits,
+                       plan.lastidx8, plan.samerow8)
+        else:
+            y = phase2(mid4, gp.ii2, gp.bits2, gp.io2,
+                       plan.sel_lidx, plan.sel_bits)
     y = y.reshape(-1)
     if plan.extra_owner is not None:
         # heavy-row sub-rows: add the extra chunks' partial sums back

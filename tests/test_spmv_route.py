@@ -48,3 +48,43 @@ def test_spmv_route_end_to_end(rng, m, n, deg):
     want = (S.astype(np.float64) @ x.astype(np.float64))
     err = np.abs(y - want).max() / (np.abs(want).max() + 1e-30)
     assert err < 1e-5, err
+
+
+def test_exact_reduce_beats_global_cumsum(rng):
+    """The exact reduce keeps float prefixes row-local: row sums no longer
+    difference two tile-scale cumsum values, so large-magnitude near-
+    cancelling rows stay accurate (the legacy global-cumsum path loses
+    ~sqrt(tile-elems) ulps; measured 3e-3 relerr at the 2^24 zipf demo)."""
+    m = n = 1 << 13
+    S = _rand_csr(rng, m, n, 20)
+    S.data *= 1e3                       # amplify cancellation
+    plan = SPR.SpmvRoutePlan(S.indptr, S.indices, S.data, (m, n))
+    x = rng.standard_normal(n).astype(np.float32)
+    want = S.astype(np.float64) @ x.astype(np.float64)
+    scale = np.abs(want).mean() + 1e-30
+    y = np.asarray(SPR.spmv_route(jnp.asarray(x), plan, interpret=True))
+    err_exact = np.abs(y - want).max() / scale
+    plan.lastidx8 = plan.samerow8 = None     # legacy differencing path
+    y2 = np.asarray(SPR.spmv_route(jnp.asarray(x), plan, interpret=True))
+    err_old = np.abs(y2 - want).max() / scale
+    assert err_exact < 5e-6, err_exact
+    assert err_exact < err_old / 4
+
+
+def test_exact_reduce_carry_chain(rng):
+    """Heavy rows span many sublane rows; the (tail, no-sentinel) carry
+    chain (cg_stages > 0) must thread their mass across row boundaries."""
+    n = 1 << 13
+    nnz = n * 20
+    rows = (n * (rng.random(nnz) ** 3)).astype(np.int64)
+    cols = np.minimum((rng.zipf(1.5, nnz) - 1) % n, n - 1)
+    vals = (rng.standard_normal(nnz) * 100).astype(np.float32)
+    S = sps.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    S.sum_duplicates()
+    plan = SPR.SpmvRoutePlan(S.indptr, S.indices, S.data, (n, n))
+    assert plan.cg_stages > 0
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(SPR.spmv_route(jnp.asarray(x), plan, interpret=True))
+    want = S.astype(np.float64) @ x.astype(np.float64)
+    err = np.abs(y - want).max() / (np.abs(want).mean() + 1e-30)
+    assert err < 5e-5, err
