@@ -249,15 +249,10 @@ def gather_products(x, plan: GatherPlan, *, interpret=False):
     """prods (W*RBL, 128) f32: product values in packed gather order."""
     interpret = _auto_interpret(interpret)
     W, RB = plan.W, plan.RBL
-    Wr = W - plan.Wv
-    npad = Wr * WIN
-    xp = jnp.pad(x.astype(jnp.float32), (0, npad - x.shape[0]))
-    # window-transposed x: row = residue (col & 127), lane = col >> 7
-    xt = jnp.swapaxes(xp.reshape(Wr, 128, 128), 1, 2).reshape(Wr * 128, 128)
-    if plan.Wv:
-        # virtual (hub) windows: tables gathered from x by the plan's
-        # cell->column map (one small gather; hubs are few)
-        xt = jnp.concatenate([xt, xp[plan.vcells]], axis=0)
+    # window-transposed x: row = residue (col & 127), lane = col >> 7;
+    # virtual (hub) windows' tables are gathered from x by the plan's
+    # cell->column map (one small gather; hubs are few)
+    xt = _window_xt(x, plan)
     kernel = functools.partial(_gather_kernel, RB=RB)
     f = pl.pallas_call(
         kernel,
@@ -888,6 +883,37 @@ def _phase2ext_exact_kernel(x_ref, ii_ref, bits_ref, io_ref,
     y_ref[:] = sel - jnp.where(sr_ref[:] != 0, prev, 0.0)
 
 
+def _gather_phase1_kernel(xt_ref, hi_ref, val_ref, ii_ref, bits_ref,
+                          io_ref, y_ref, *, dists, R, rows_in, rows_out):
+    """Fused stage A + phase 1: products never round-trip through HBM
+    (saves 8 B/slot of traffic — the single largest block after the plan
+    arrays).  Valid when every route tile maps into one gather window
+    (RBL % TR == 0) and the gather domain covers the route domain."""
+    xt = xt_ref[:]                               # (128,128) window strip
+    tab = jnp.tile(xt, (rows_in // 128, 1))      # row s -> residue s % 128
+    g = jnp.take_along_axis(tab, hi_ref[:].astype(jnp.int32), axis=1)
+    x = g * val_ref[:]
+    if rows_in < R:
+        x = jnp.concatenate(
+            [x, jnp.zeros((R - rows_in, 128), x.dtype)], axis=0)
+    x = jnp.take_along_axis(x, ii_ref[:].astype(jnp.int32), axis=1)
+    x = SRT._benes_stages(x, bits_ref[:], dists, R)
+    x = jnp.take_along_axis(x, io_ref[:].astype(jnp.int32), axis=1)
+    y_ref[:] = x[:rows_out, :]
+
+
+def _window_xt(x, g: GatherPlan):
+    """Window-transposed x table (+ virtual hub windows), shared by the
+    fused and standalone gather paths."""
+    Wr = g.W - g.Wv
+    npad = Wr * WIN
+    xp = jnp.pad(x.astype(jnp.float32), (0, npad - x.shape[0]))
+    xt = jnp.swapaxes(xp.reshape(Wr, 128, 128), 1, 2).reshape(Wr * 128, 128)
+    if g.Wv:
+        xt = jnp.concatenate([xt, xp[g.vcells]], axis=0)
+    return xt
+
+
 def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
     """y = A @ x (plus-times fp32) through the routing engine.
     ``interpret=None`` auto-selects interpret mode on the CPU backend so
@@ -897,36 +923,68 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
     T2, R1, R2 = gp.T, gp.R1, gp.R2
     TR = getattr(gp, "TR", SRT.TILE_R)
     rows_pp = gp.rows_pp
-    prods = gather_products(x, plan.g, interpret=interpret)
-    # pad product array to the route domain and run phase 1
     N_dst = T2 * TR * 128
-    pf = prods.reshape(-1)
-    pf = jnp.pad(pf, (0, N_dst - pf.shape[0]))
-    xp = pf.reshape(-1, 128)
-    k1 = functools.partial(SRT._phase_kernel, dists=gp.dists1, R=R1,
-                           rows_in=TR, rows_out=T2 * rows_pp)
+    gs = plan.g
+    N_src = gs.W * gs.RBL * 128
+    fuse = (gs.RBL % TR == 0) and (N_src == N_dst)
     cp = (None if interpret else
           pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024))
-    phase1 = pl.pallas_call(
-        k1,
-        grid=(T2,),
-        in_specs=[
-            pl.BlockSpec((TR, 128), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R1, 128), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R1, 128), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R1, 128), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((T2 * rows_pp, 128), lambda t: (t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T2 * T2 * rows_pp, 128),
-                                       jnp.float32),
-        interpret=interpret,
-        compiler_params=cp,
-    )
+    if fuse:
+        ratio = gs.RBL // TR
+        k1 = functools.partial(_gather_phase1_kernel, dists=gp.dists1,
+                               R=R1, rows_in=TR, rows_out=T2 * rows_pp)
+        phase1 = pl.pallas_call(
+            k1,
+            grid=(T2,),
+            in_specs=[
+                pl.BlockSpec((128, 128), lambda t: (t // ratio, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TR, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R1, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R1, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R1, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T2 * rows_pp, 128), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T2 * T2 * rows_pp, 128),
+                                           jnp.float32),
+            interpret=interpret,
+            compiler_params=cp,
+        )
+    else:
+        prods = gather_products(x, plan.g, interpret=interpret)
+        # pad product array to the route domain and run phase 1
+        pf = prods.reshape(-1)
+        pf = jnp.pad(pf, (0, N_dst - pf.shape[0]))
+        xp = pf.reshape(-1, 128)
+        k1 = functools.partial(SRT._phase_kernel, dists=gp.dists1, R=R1,
+                               rows_in=TR, rows_out=T2 * rows_pp)
+        phase1 = pl.pallas_call(
+            k1,
+            grid=(T2,),
+            in_specs=[
+                pl.BlockSpec((TR, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R1, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R1, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R1, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T2 * rows_pp, 128), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T2 * T2 * rows_pp, 128),
+                                           jnp.float32),
+            interpret=interpret,
+            compiler_params=cp,
+        )
     exact = getattr(plan, "lastidx8", None) is not None
     specs2 = [
         pl.BlockSpec((T2, 1, rows_pp, 128), lambda t: (0, t, 0, 0),
@@ -969,7 +1027,11 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
         compiler_params=cp,
     )
     with jax.enable_x64(False):
-        mid = phase1(xp, gp.ii1, gp.bits1, gp.io1)
+        if fuse:
+            mid = phase1(_window_xt(x, gs), gs.hi, gs.val,
+                         gp.ii1, gp.bits1, gp.io1)
+        else:
+            mid = phase1(xp, gp.ii1, gp.bits1, gp.io1)
         mid4 = mid.reshape(T2, T2, rows_pp, 128)
         if exact:
             y = phase2(mid4, gp.ii2, gp.bits2, gp.io2,
