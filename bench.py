@@ -59,7 +59,8 @@ def _route_tier(S, n):
     if os.path.exists(PLAN_CACHE):
         try:
             plan = SPRT.load_plan(PLAN_CACHE)
-            if plan.m != n or plan.g.nnz != S.nnz:
+            if plan.m != n or plan.g.nnz != S.nnz \
+                    or plan.lastidx8 is None:   # pre-exact-reduce format
                 plan = None
         except Exception:
             plan = None

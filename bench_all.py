@@ -56,7 +56,8 @@ def main():
     if os.path.exists(plan_path):
         try:
             plan = SPRT.load_plan(plan_path)
-            if plan.m != n or plan.g.nnz != nnz:
+            if plan.m != n or plan.g.nnz != nnz \
+                    or plan.lastidx8 is None:
                 plan = None
         except Exception:
             plan = None
@@ -97,7 +98,7 @@ def main():
     if os.path.exists(tplan_path):
         try:
             tplan = SPRT.load_plan(tplan_path)
-            if tplan.g.nnz != nnz:
+            if tplan.g.nnz != nnz or tplan.lastidx8 is None:
                 tplan = None
         except Exception:
             tplan = None

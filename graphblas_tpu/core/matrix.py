@@ -611,10 +611,15 @@ class Matrix:
         if spmv_route.plan_for(Ar.indptr, Ar.indices, Ar.values,
                                Ar.shape, build=False) is not None:
             return Ar
+        plan = None
         if plan_path and os.path.exists(plan_path):
             plan = spmv_route.load_plan(plan_path)
-            _cfg.burble("optimize: loaded route plan from %s", plan_path)
-        else:
+            if plan.g.nnz != int(Ar.nvals):     # stale cache
+                plan = None
+            else:
+                _cfg.burble("optimize: loaded route plan from %s",
+                            plan_path)
+        if plan is None:
             plan = spmv_route.plan_for(Ar.indptr, Ar.indices, Ar.values,
                                        Ar.shape)
             if plan_path:
