@@ -23,6 +23,8 @@ REF_1CORE = {
     "spmv_s": 0.1313, "bfs_s": 0.2761, "pagerank_iter_s": 0.3229,
     "triangle_count_s": 4.2298, "spgemm_s": 201.743, "ntri": 647,
     "spgemm_cnnz": 268406919,
+    # filled by the extended driver run (transpose / S+S' / S(p,q))
+    "transpose_s": None, "ewiseadd_s": None, "extract_perm_s": None,
 }
 REF_PUBLISHED_SPMV_GNNZ_S = 0.61     # GAP-twitter, 20-core Xeon
 
@@ -138,6 +140,52 @@ def main():
         "gteps": round(nnz / pr_s / 1e9, 3),
         "vs_ref_this_host": round(REF_1CORE["pagerank_iter_s"] / pr_s, 1)}
     print(json.dumps({"config": "pagerank", **out["pagerank"]}), flush=True)
+
+    # ---- Transpose C = S' materialized (dobench row: C=S') -------------
+    def _vs(key, s):
+        r = REF_1CORE.get(key)
+        return round(r / s, 2) if r else None
+
+    At2 = gb.transpose(A).to_format(SPARSE, ROW)     # warm path compile
+    _ = float(np.asarray(jnp.sum(At2.values)))
+    t0 = time.perf_counter()
+    At2 = gb.transpose(A).to_format(SPARSE, ROW)
+    _ = float(np.asarray(jnp.sum(At2.values)))
+    tr_s = time.perf_counter() - t0 - SYNC_FLOOR_S
+    out["transpose"] = {
+        "s": round(tr_s, 4), "gnnz_per_s": round(nnz / tr_s / 1e9, 3),
+        "vs_ref_this_host": _vs("transpose_s", tr_s)}
+    print(json.dumps({"config": "transpose", **out["transpose"]}),
+          flush=True)
+
+    # ---- eWiseAdd C = S + S' (dobench row: C=S+B) ----------------------
+    Badd = gb.ewise_add(A, At2, gb.operators.PLUS)   # warm
+    _ = float(np.asarray(jnp.sum(Badd.values)))
+    t0 = time.perf_counter()
+    Badd = gb.ewise_add(A, At2, gb.operators.PLUS)
+    _ = float(np.asarray(jnp.sum(Badd.values)))
+    ea_s = time.perf_counter() - t0 - SYNC_FLOOR_S
+    out["ewiseadd"] = {
+        "s": round(ea_s, 4), "cnnz": int(Badd.nvals),
+        "vs_ref_this_host": _vs("ewiseadd_s", ea_s)}
+    print(json.dumps({"config": "ewiseadd", **out["ewiseadd"]}),
+          flush=True)
+
+    # ---- Submatrix C = S(p,q), random permutations ---------------------
+    perm_rng = np.random.default_rng(42)
+    P = perm_rng.permutation(n)
+    Q = perm_rng.permutation(n)
+    Csub = gb.extract(A, P, Q)                       # warm
+    _ = float(np.asarray(jnp.sum(Csub.values)))
+    t0 = time.perf_counter()
+    Csub = gb.extract(A, P, Q)
+    _ = float(np.asarray(jnp.sum(Csub.values)))
+    ex_s = time.perf_counter() - t0 - SYNC_FLOOR_S
+    out["extract_perm"] = {
+        "s": round(ex_s, 4),
+        "vs_ref_this_host": _vs("extract_perm_s", ex_s)}
+    print(json.dumps({"config": "extract_perm", **out["extract_perm"]}),
+          flush=True)
 
     # ---- Triangle count (masked plus-pair SpGEMM, tiled ESC) -----------
     t0 = time.perf_counter()

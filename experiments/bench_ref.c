@@ -145,6 +145,56 @@ int main(int argc, char **argv) {
   printf("{\"op\": \"triangle_count\", \"s\": %.4f, \"ntri\": %lld}\n",
          tc_s, (long long)ntri);
 
+  /* ---- Transpose C = S' (materialized; dobench_results.txt:107) ---- */
+  GrB_Matrix St;
+  OK(GrB_Matrix_new(&St, GrB_FP32, n, n));
+  OK(GrB_transpose(St, NULL, NULL, S, NULL));
+  OK(GrB_Matrix_wait(St, GrB_MATERIALIZE));   /* warm */
+  t0 = now();
+  OK(GrB_transpose(St, NULL, NULL, S, NULL));
+  OK(GrB_Matrix_wait(St, GrB_MATERIALIZE));
+  double tr_s = now() - t0;
+  printf("{\"op\": \"transpose\", \"s\": %.4f}\n", tr_s);
+
+  /* ---- eWiseAdd C = S + S' (dobench_results.txt:109) ---- */
+  GrB_Matrix Cadd;
+  OK(GrB_Matrix_new(&Cadd, GrB_FP32, n, n));
+  OK(GrB_Matrix_eWiseAdd_BinaryOp(Cadd, NULL, NULL, GrB_PLUS_FP32, S, St,
+                                  NULL));
+  OK(GrB_Matrix_wait(Cadd, GrB_MATERIALIZE));  /* warm */
+  t0 = now();
+  OK(GrB_Matrix_eWiseAdd_BinaryOp(Cadd, NULL, NULL, GrB_PLUS_FP32, S, St,
+                                  NULL));
+  OK(GrB_Matrix_wait(Cadd, GrB_MATERIALIZE));
+  double ea_s = now() - t0;
+  GrB_Index ea_nnz;
+  OK(GrB_Matrix_nvals(&ea_nnz, Cadd));
+  printf("{\"op\": \"ewiseadd\", \"s\": %.4f, \"cnnz\": %llu}\n", ea_s,
+         (unsigned long long)ea_nnz);
+
+  /* ---- Submatrix C = S(p,q), random permutations (.. .txt:110) ---- */
+  GrB_Index *P = malloc(n * sizeof(GrB_Index));
+  GrB_Index *Q = malloc(n * sizeof(GrB_Index));
+  unsigned long long seed = 0x9e3779b97f4a7c15ULL;
+  for (GrB_Index i = 0; i < (GrB_Index)n; ++i) { P[i] = i; Q[i] = i; }
+  for (GrB_Index i = (GrB_Index)n - 1; i > 0; --i) {
+    seed = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+    GrB_Index j = (GrB_Index)(seed >> 33) % (i + 1);
+    GrB_Index t = P[i]; P[i] = P[j]; P[j] = t;
+    seed = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+    j = (GrB_Index)(seed >> 33) % (i + 1);
+    t = Q[i]; Q[i] = Q[j]; Q[j] = t;
+  }
+  GrB_Matrix Csub;
+  OK(GrB_Matrix_new(&Csub, GrB_FP32, n, n));
+  OK(GrB_Matrix_extract(Csub, NULL, NULL, S, P, n, Q, n, NULL));
+  OK(GrB_Matrix_wait(Csub, GrB_MATERIALIZE));  /* warm */
+  t0 = now();
+  OK(GrB_Matrix_extract(Csub, NULL, NULL, S, P, n, Q, n, NULL));
+  OK(GrB_Matrix_wait(Csub, GrB_MATERIALIZE));
+  double ex_s = now() - t0;
+  printf("{\"op\": \"extract_perm\", \"s\": %.4f}\n", ex_s);
+
   /* ---- SpGEMM C = S*S ---- */
   GrB_Matrix C2;
   OK(GrB_Matrix_new(&C2, GrB_FP32, n, n));
