@@ -20,11 +20,15 @@ SYNC_FLOOR_S = 0.0286
 # reference measured on this host (1 core, COMPACT build, runtime JIT) —
 # regenerate with: gcc experiments/bench_ref.c + /tmp/bench_graph.bin
 REF_1CORE = {
-    "spmv_s": 0.1313, "bfs_s": 0.2761, "pagerank_iter_s": 0.3229,
-    "triangle_count_s": 4.2298, "spgemm_s": 201.743, "ntri": 647,
+    # 2026-08-18 rerun, solo on the core with the reference's JIT kernel
+    # cache warm (the first-round numbers included JIT compiles and ran
+    # under contention: spmv 0.1313, bfs 0.2761, pr 0.3229, tc 4.2298,
+    # spgemm 201.7 — kept the FASTER measurements for honesty)
+    "spmv_s": 0.0926, "bfs_s": 0.1671, "pagerank_iter_s": 0.1610,
+    "triangle_count_s": 1.8647, "spgemm_s": 54.62, "ntri": 647,
     "spgemm_cnnz": 268406919,
-    # filled by the extended driver run (transpose / S+S' / S(p,q))
-    "transpose_s": None, "ewiseadd_s": None, "extract_perm_s": None,
+    "transpose_s": 0.7196, "ewiseadd_s": 0.7894, "extract_perm_s": 2.1602,
+    "ewiseadd_cnnz": 33553873,
 }
 REF_PUBLISHED_SPMV_GNNZ_S = 0.61     # GAP-twitter, 20-core Xeon
 
@@ -167,6 +171,7 @@ def main():
     ea_s = time.perf_counter() - t0 - SYNC_FLOOR_S
     out["ewiseadd"] = {
         "s": round(ea_s, 4), "cnnz": int(Badd.nvals),
+        "matches_ref_nnz": int(Badd.nvals) == REF_1CORE["ewiseadd_cnnz"],
         "vs_ref_this_host": _vs("ewiseadd_s", ea_s)}
     print(json.dumps({"config": "ewiseadd", **out["ewiseadd"]}),
           flush=True)
