@@ -36,6 +36,17 @@ _CODECS = {
              zlib.decompress),
 }
 
+try:  # zstd levels 1-19 (reference: GxB_COMPRESSION_ZSTD,
+    #   Source/GB_serialize.c:133-139); gated — not in every image
+    import zstandard as _zstd
+
+    _CODECS["zstd"] = (
+        lambda b, level: _zstd.ZstdCompressor(
+            level=max(1, min(level, 19))).compress(b),
+        lambda b: _zstd.ZstdDecompressor().decompress(b))
+except ImportError:  # pragma: no cover
+    pass
+
 
 def _gbz_compress_array(npa: np.ndarray, level: int) -> bytes:
     """Domain-aware codec (the LZ4/ZSTD-analog, native/gbtpu_native.cpp):
@@ -63,10 +74,22 @@ def register_codec(name, compress, decompress):
     _CODECS[name] = (compress, decompress)
 
 
-def serialize(A: Matrix, compression="zlib", level=1) -> bytes:
-    """Matrix -> blob (GxB_Matrix_serialize)."""
+def serialize(A: Matrix, compression=None, level=None, desc=None) -> bytes:
+    """Matrix -> blob (GxB_Matrix_serialize).
+
+    Codec resolution: explicit ``compression``/``level`` args win, then the
+    descriptor's compression fields (GxB_COMPRESSION analog; Descriptor
+    defaults to zstd level 1 like the reference, Source/GB_serialize.c:
+    133-139), then zstd (zlib where the module is absent)."""
     if A._pending:
         A.wait()
+    if compression is None:
+        compression = getattr(desc, "compression", None) or (
+            "zstd" if "zstd" in _CODECS else "zlib")
+    if level is None:
+        level = getattr(desc, "compression_level", None) or 1
+    if compression == "zstd" and "zstd" not in _CODECS:
+        compression = "zlib"   # image without the zstandard module
     if compression != "gbz" and compression not in _CODECS:
         raise E.InvalidValue(f"unknown codec {compression!r}")
     arrays = {}

@@ -130,11 +130,29 @@ def test_serialize_roundtrip(rng):
 def test_serialize_vector_and_codecs(rng):
     from graphblas_tpu.ops import serialize as ser
     v, sv = random_gb(rng, 9, 1, 0.5, klass=gb.Vector)
-    for codec in ("zlib", "none"):
+    codecs = ["zlib", "none"] + (["zstd"] if "zstd" in ser._CODECS else [])
+    for codec in codecs:
         blob = ser.serialize(v, compression=codec)
+        assert ser.serialized_get(blob)["compression"] == codec
         w = ser.deserialize(blob)
         assert isinstance(w, gb.Vector)
         assert_matches(w, sv)
+
+
+def test_serialize_descriptor_codec(rng):
+    """Descriptor carries the codec like GxB_COMPRESSION (the default
+    Descriptor selects zstd level 1, matching the reference)."""
+    from graphblas_tpu.core.descriptor import Descriptor
+    from graphblas_tpu.ops import serialize as ser
+    A, sA = random_gb(rng, 8, 8, 0.4)
+    blob = ser.serialize(A, desc=Descriptor(compression="zlib",
+                                            compression_level=3))
+    assert ser.serialized_get(blob)["compression"] == "zlib"
+    assert_matches(ser.deserialize(blob), sA)
+    want = "zstd" if "zstd" in ser._CODECS else "zlib"
+    blob2 = ser.serialize(A, desc=Descriptor())
+    assert ser.serialized_get(blob2)["compression"] == want
+    assert_matches(ser.deserialize(blob2), sA)
 
 
 def test_hyper_ops_roundtrip(rng):
