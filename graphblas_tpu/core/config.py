@@ -67,16 +67,29 @@ def init(mode: str = "nonblocking", compilation_cache_dir: str | None = None
                 "~/.graphblas_tpu/xla_cache")
     if compilation_cache_dir:
         import jax
-        # Partition the cache by backend platform: XLA:CPU AOT blobs carry
-        # machine-feature lists and loading one written under a different
-        # platform/flag set SIGSEGVs outright (observed: entries written
-        # while the remote-TPU plugin was engaged, loaded by a cpu-only
-        # test run).  One subdirectory per platform keeps every entry
-        # loadable by the process that wrote it.
+        # Partition the cache by backend platform AND a host fingerprint:
+        # XLA:CPU AOT blobs carry machine-feature lists, and loading one
+        # written under a different platform/flag/feature set SIGSEGVs or
+        # SIGILLs outright (observed twice: entries written while the
+        # remote-TPU plugin was engaged, loaded by a cpu-only test run;
+        # and entries from a different-microarch host segfaulting in
+        # libgcc unwind at load).  One subdirectory per (platform, cpu
+        # flags hash) keeps every entry loadable by the process that
+        # wrote it.
         try:
             platform = jax.default_backend()
         except Exception:  # pragma: no cover - backend init failure
             platform = "unknown"
+        if platform == "cpu":
+            import hashlib
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = next((ln for ln in f
+                                  if ln.startswith("flags")), "")
+                platform += "-" + hashlib.sha1(
+                    flags.encode()).hexdigest()[:8]
+            except OSError:  # pragma: no cover - non-Linux host
+                pass
         compilation_cache_dir = os.path.join(
             str(compilation_cache_dir), platform)
         os.makedirs(compilation_cache_dir, exist_ok=True)

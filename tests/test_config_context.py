@@ -26,9 +26,14 @@ def test_init_explicit_cache_dir(tmp_path):
     d = tmp_path / "xla_cache"
     gb.init(compilation_cache_dir=str(d))
     assert d.is_dir()
-    # cache is partitioned per backend platform (AOT blobs are
-    # machine-feature specific; see config.init)
-    assert jax.config.jax_compilation_cache_dir == str(d / "cpu")
+    # cache is partitioned per (backend platform, host cpu-flags hash):
+    # AOT blobs are machine-feature specific and SIGILL/segfault when
+    # loaded on a different host (see config.init)
+    got = jax.config.jax_compilation_cache_dir
+    assert got.startswith(str(d / "cpu"))
+    base = os.path.basename(got)
+    assert base == "cpu" or (base.startswith("cpu-")
+                             and len(base) == len("cpu-") + 8)
 
 
 def test_init_burble_env(monkeypatch):
