@@ -59,12 +59,22 @@ def init(mode: str = "nonblocking", compilation_cache_dir: str | None = None
     if os.environ.get("GB_BURBLE"):
         GLOBAL.burble = True
     if compilation_cache_dir is None:
-        # on by default: the ~/.SuiteSparse PreJIT-cache analog
-        # (reference: Source/GB_jitifyer.c:1449-1560); GB_NO_JIT_CACHE
-        # opts out
+        # on by default for accelerator backends: the ~/.SuiteSparse
+        # PreJIT-cache analog (reference: Source/GB_jitifyer.c:1449-1560);
+        # GB_NO_JIT_CACHE opts out.  The CPU backend is excluded unless a
+        # dir is passed explicitly: XLA:CPU persists AOT machine code and
+        # its loader itself warns reloads "could lead to execution errors
+        # such as SIGILL" on feature mismatch — observed as intermittent
+        # segfaults in long test runs; CPU compiles are cheap anyway.
         if not os.environ.get("GB_NO_JIT_CACHE"):
-            compilation_cache_dir = os.path.expanduser(
-                "~/.graphblas_tpu/xla_cache")
+            try:
+                import jax as _jax
+                backend = _jax.default_backend()
+            except Exception:  # pragma: no cover
+                backend = "cpu"
+            if backend != "cpu":
+                compilation_cache_dir = os.path.expanduser(
+                    "~/.graphblas_tpu/xla_cache")
     if compilation_cache_dir:
         import jax
         # Partition the cache by backend platform AND a host fingerprint:
