@@ -23,17 +23,25 @@ def test_init_blocking_and_finalize():
 
 
 def test_init_explicit_cache_dir(tmp_path):
+    prev = jax.config.jax_compilation_cache_dir
     d = tmp_path / "xla_cache"
-    gb.init(compilation_cache_dir=str(d))
-    assert d.is_dir()
-    # cache is partitioned per (backend platform, host cpu-flags hash):
-    # AOT blobs are machine-feature specific and SIGILL/segfault when
-    # loaded on a different host (see config.init)
-    got = jax.config.jax_compilation_cache_dir
-    assert got.startswith(str(d / "cpu"))
-    base = os.path.basename(got)
-    assert base == "cpu" or (base.startswith("cpu-")
-                             and len(base) == len("cpu-") + 8)
+    try:
+        gb.init(compilation_cache_dir=str(d))
+        assert d.is_dir()
+        # cache is partitioned per (backend platform, host cpu-flags
+        # hash): AOT blobs are machine-feature specific and
+        # SIGILL/segfault when loaded on a different host (config.init)
+        got = jax.config.jax_compilation_cache_dir
+        assert got.startswith(str(d / "cpu"))
+        base = os.path.basename(got)
+        assert base == "cpu" or (base.startswith("cpu-")
+                                 and len(base) == len("cpu-") + 8)
+    finally:
+        # leaving the cache pointed at tmp_path for the rest of the
+        # process made every later >0.5s CPU compile AOT-export into it —
+        # a path that segfaults intermittently in XLA:CPU (observed
+        # killing full-suite runs at ~92% inside put_executable_and_time)
+        jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def test_init_burble_env(monkeypatch):
