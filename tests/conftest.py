@@ -25,3 +25,18 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound accumulated XLA:CPU compiler state.
+
+    With 300+ tests in one process, XLA:CPU intermittently segfaults
+    while COMPILING late in the run (observed twice at ~92%, inside
+    backend_compile_and_load / the cache-write path, always on the first
+    fresh compile of a large pipeline after ~270 prior tests).  Dropping
+    live executables between modules keeps the process below the poison
+    threshold; modules are compile-wise self-contained, so the cost is
+    only cross-module executable reuse."""
+    yield
+    jax.clear_caches()
