@@ -27,7 +27,8 @@ REF_1CORE = {
     "spmv_s": 0.0926, "bfs_s": 0.1671, "pagerank_iter_s": 0.1610,
     "triangle_count_s": 1.8647, "spgemm_s": 54.62, "ntri": 647,
     "spgemm_cnnz": 268406919,
-    "transpose_s": 0.7196, "ewiseadd_s": 0.7894, "extract_perm_s": 2.1602,
+    "spmm_dense4_s": 0.2446,
+    "transpose_s": 0.6245, "ewiseadd_s": 0.6760, "extract_perm_s": 1.9404,
     "ewiseadd_cnnz": 33553873,
 }
 REF_PUBLISHED_SPMV_GNNZ_S = 0.61     # GAP-twitter, 20-core Xeon
@@ -145,10 +146,28 @@ def main():
         "vs_ref_this_host": round(REF_1CORE["pagerank_iter_s"] / pr_s, 1)}
     print(json.dumps({"config": "pagerank", **out["pagerank"]}), flush=True)
 
-    # ---- Transpose C = S' materialized (dobench row: C=S') -------------
+    # ---- SpMM dense C = S*F (F n x 4; dobench row: C=S*F) --------------
     def _vs(key, s):
         r = REF_1CORE.get(key)
         return round(r / s, 2) if r else None
+
+    ii = np.arange(n)[:, None]
+    Fm = gb.Matrix.from_dense(
+        (1e-3 * ((ii + 7 * np.arange(4)[None, :]) % 97)).astype(np.float32))
+    Cmm = gb.mxm(A, Fm, SR.PLUS_TIMES)       # warm
+    _ = float(np.asarray(jnp.sum(Cmm.values)))
+    t0 = time.perf_counter()
+    Cmm = gb.mxm(A, Fm, SR.PLUS_TIMES)
+    _ = float(np.asarray(jnp.sum(Cmm.values)))
+    mm_s = time.perf_counter() - t0 - SYNC_FLOOR_S
+    out["spmm_dense4"] = {
+        "s": round(mm_s, 4),
+        "gflops": round(2 * 4 * nnz / mm_s / 1e9, 2),
+        "vs_ref_this_host": _vs("spmm_dense4_s", mm_s)}
+    print(json.dumps({"config": "spmm_dense4", **out["spmm_dense4"]}),
+          flush=True)
+
+    # ---- Transpose C = S' materialized (dobench row: C=S') -------------
 
     At2 = gb.transpose(A).to_format(SPARSE, ROW)     # warm path compile
     _ = float(np.asarray(jnp.sum(At2.values)))

@@ -145,6 +145,23 @@ int main(int argc, char **argv) {
   printf("{\"op\": \"triangle_count\", \"s\": %.4f, \"ntri\": %lld}\n",
          tc_s, (long long)ntri);
 
+  /* ---- SpMM dense C = S*F, F n x 4 (dobench_results.txt:103) ---- */
+  GrB_Matrix Fm, Cmm;
+  OK(GrB_Matrix_new(&Fm, GrB_FP32, n, 4));
+  for (GrB_Index i = 0; i < (GrB_Index)n; ++i)
+    for (GrB_Index j = 0; j < 4; ++j)
+      OK(GrB_Matrix_setElement_FP32(Fm, 1e-3f * (float)((i + 7 * j) % 97),
+                                    i, j));
+  OK(GrB_Matrix_wait(Fm, GrB_MATERIALIZE));
+  OK(GrB_Matrix_new(&Cmm, GrB_FP32, n, 4));
+  OK(GrB_mxm(Cmm, NULL, NULL, GrB_PLUS_TIMES_SEMIRING_FP32, S, Fm, NULL));
+  OK(GrB_Matrix_wait(Cmm, GrB_MATERIALIZE));  /* warm */
+  t0 = now();
+  OK(GrB_mxm(Cmm, NULL, NULL, GrB_PLUS_TIMES_SEMIRING_FP32, S, Fm, NULL));
+  OK(GrB_Matrix_wait(Cmm, GrB_MATERIALIZE));
+  double mm_s = now() - t0;
+  printf("{\"op\": \"spmm_dense4\", \"s\": %.4f}\n", mm_s);
+
   /* ---- Transpose C = S' (materialized; dobench_results.txt:107) ---- */
   GrB_Matrix St;
   OK(GrB_Matrix_new(&St, GrB_FP32, n, n));
