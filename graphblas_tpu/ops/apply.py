@@ -39,6 +39,21 @@ def apply(A: Matrix, op, *, bind=None, thunk=None, C=None, mask=None,
         zt = T.lookup(out_dtype) if out_dtype else op.out_type(A.dtype)
         Tm = _apply_idx(A, op, thunk, zt)
     elif isinstance(op, BinaryOp):
+        if op.positional:
+            # positional binary ops ignore the bound scalar and read the
+            # entry's own indices (reference: GB_apply_op.c positional
+            # opcodes route through GB_positional_offset, not the scalar)
+            pos = {"firsti": "i", "secondi": "i", "firsti1": "i1",
+                   "secondi1": "i1", "firstj": "j", "secondj": "j",
+                   "firstj1": "j1", "secondj1": "j1"}[op.positional]
+            zt = T.lookup(out_dtype) if out_dtype else T.INT64
+            one = pos.endswith("1")
+            fn = (lambda v: v + 1) if one else (lambda v: v)
+            Tm = _apply_positional(
+                A, UnaryOp(op.name, fn, ztype=zt, positional=pos), zt)
+            klass = type(A) if C is None else None
+            return writeback(C, mask, accum, Tm, desc, out_dtype,
+                             out_class=klass)
         if bind is None:
             from ..core import errors as E
             raise E.InvalidValue("binary apply requires bind=('first'|'second', scalar)")
