@@ -184,6 +184,51 @@ def test_reduce_scalar_accum_init(rng):
 
 
 # ---------------------------------------------------------------------------
+# reference math semantics: integer division, bitshift, signum
+# (reference: GB_math.h GB_idiv_*, GB_bitshift_*)
+# ---------------------------------------------------------------------------
+
+def test_int_div_by_zero_semantics():
+    OPS = gb.operators
+    x = jnp.asarray([0, 7, -7, 9], jnp.int32)
+    y = jnp.asarray([0, 0, 0, 2], jnp.int32)
+    got = np.asarray(OPS.DIV.fn(x, y))
+    np.testing.assert_array_equal(
+        got, [0, np.iinfo(np.int32).max, np.iinfo(np.int32).min, 4])
+    xu = jnp.asarray([0, 7], jnp.uint8)
+    yu = jnp.asarray([0, 0], jnp.uint8)
+    np.testing.assert_array_equal(np.asarray(OPS.DIV.fn(xu, yu)), [0, 255])
+    # C truncating (not floor) division for signed ints
+    assert int(OPS.DIV.fn(jnp.int32(-7), jnp.int32(2))) == -3
+    # floats follow IEEE
+    assert np.isinf(float(OPS.DIV.fn(jnp.float32(1.0), jnp.float32(0.0))))
+
+
+def test_bitshift_semantics():
+    OPS = gb.operators
+    x = jnp.asarray([1, -8, 1], jnp.int8)
+    s = jnp.asarray([3, -2, 9], jnp.int8)     # left, arithmetic right, >=nbits
+    got = np.asarray(OPS.BSHIFT.fn(x, s))
+    np.testing.assert_array_equal(got, [8, -2, 0])
+    xu = jnp.asarray([255, 255], jnp.uint8)
+    su = jnp.asarray([-3, -8], jnp.int8)
+    np.testing.assert_array_equal(
+        np.asarray(OPS.BSHIFT.fn(xu, su)), [31, 0])
+
+
+def test_signum_and_op_protocols():
+    OPS = gb.operators
+    assert int(OPS.SIGNUM(jnp.float32(-3.5))) == -1
+    assert bool(OPS.SIGNUM(jnp.asarray(True)))       # bool passes through
+    assert "SIGNUM" in repr(OPS.SIGNUM)
+    assert "PLUS" in repr(OPS.PLUS)
+    assert OPS.SIGNUM.out_type(T.FP32) is T.FP32
+    assert "ROWINDEX" in repr(OPS.ROWINDEX)
+    assert int(OPS.ROWINDEX(0.0, 3, 1, 2)) == 5      # i + thunk
+    assert OPS.ROWINDEX.out_type(T.FP32) is T.INT64
+
+
+# ---------------------------------------------------------------------------
 # eWise positional ops
 # ---------------------------------------------------------------------------
 
