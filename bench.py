@@ -74,25 +74,38 @@ def _route_tier(S, n):
     plan = SPRT.plan_to_device(plan)
 
     scale = jnp.float32(1.0 / 16)
-
-    @jax.jit
-    def chained(v, pln):
-        def body(i, acc):
-            return SPRT.spmv_route(acc, pln) * scale
-        return jax.lax.fori_loop(0, ITERS, body, v)
-
     rng = np.random.default_rng(1)
     x0 = jnp.asarray((rng.standard_normal(n) * 1e-3).astype(np.float32))
-    dt = _time_chained(chained, x0, plan)
-
-    # correctness guard: a silently wrong kernel must not report a number
-    y = np.asarray(jax.jit(
-        lambda v, p: SPRT.spmv_route(v, p))(x0, plan))
     want = S.astype(np.float64) @ np.asarray(x0).astype(np.float64)
-    err = np.abs(y - want).max() / (np.abs(want).max() + 1e-30)
-    if not (err < 1e-4):
-        raise RuntimeError(f"route kernel relerr {err}")
-    return dt, plan_s, float(err)
+
+    def _measure(legacy):
+        @jax.jit
+        def chained(v, pln):
+            def body(i, acc):
+                return SPRT.spmv_route(acc, pln,
+                                       force_legacy=legacy) * scale
+            return jax.lax.fori_loop(0, ITERS, body, v)
+
+        dt = _time_chained(chained, x0, plan)
+        # correctness guard: a silently wrong kernel must not report
+        y = np.asarray(jax.jit(
+            lambda v, p: SPRT.spmv_route(v, p, force_legacy=legacy))(
+                x0, plan))
+        err = np.abs(y - want).max() / (np.abs(want).max() + 1e-30)
+        if not (err < 1e-4):
+            raise RuntimeError(f"route kernel relerr {err}")
+        return dt, float(err)
+
+    try:
+        dt, err = _measure(False)     # fused gather + exact reduce
+        mode = "fused-exact"
+    except Exception:
+        # Mosaic/compile regression in the newer kernels: fall back to
+        # the hardware-proven unfused + global-cumsum executor rather
+        # than dropping all the way to the one-hot tier
+        dt, err = _measure(True)
+        mode = "legacy"
+    return dt, plan_s, err, mode
 
 
 def _onehot_tier(S, n):
@@ -180,9 +193,9 @@ def main():
 
     extras = {}
     try:
-        dt, plan_s, err = _route_tier(S, n)
+        dt, plan_s, err, mode = _route_tier(S, n)
         extras = {"kernel": "spmv_route", "plan_build_s": round(plan_s, 1),
-                  "relerr": err}
+                  "relerr": err, "route_mode": mode}
     except Exception:
         try:
             dt = _onehot_tier(S, n)

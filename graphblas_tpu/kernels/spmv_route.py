@@ -914,11 +914,20 @@ def _window_xt(x, g: GatherPlan):
     return xt
 
 
-def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
+# kill switches for the round-trip-saving executor variants: legacy mode
+# (GB_ROUTE_LEGACY=1 or force_legacy=True) runs the unfused gather +
+# global-cumsum reduce proven on hardware, so a Mosaic regression in the
+# newer kernels degrades throughput, not correctness
+_FORCE_LEGACY = bool(os.environ.get("GB_ROUTE_LEGACY"))
+
+
+def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None,
+               force_legacy=None):
     """y = A @ x (plus-times fp32) through the routing engine.
     ``interpret=None`` auto-selects interpret mode on the CPU backend so
     routed paths stay testable on the CI mesh."""
     interpret = _auto_interpret(interpret)
+    legacy = _FORCE_LEGACY if force_legacy is None else force_legacy
     gp = plan.gp
     T2, R1, R2 = gp.T, gp.R1, gp.R2
     TR = getattr(gp, "TR", SRT.TILE_R)
@@ -926,7 +935,7 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
     N_dst = T2 * TR * 128
     gs = plan.g
     N_src = gs.W * gs.RBL * 128
-    fuse = (gs.RBL % TR == 0) and (N_src == N_dst)
+    fuse = (gs.RBL % TR == 0) and (N_src == N_dst) and not legacy
     cp = (None if interpret else
           pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024))
     if fuse:
@@ -985,7 +994,7 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None):
             interpret=interpret,
             compiler_params=cp,
         )
-    exact = getattr(plan, "lastidx8", None) is not None
+    exact = getattr(plan, "lastidx8", None) is not None and not legacy
     specs2 = [
         pl.BlockSpec((T2, 1, rows_pp, 128), lambda t: (0, t, 0, 0),
                      memory_space=pltpu.VMEM),
