@@ -71,6 +71,35 @@ def test_exact_reduce_beats_global_cumsum(rng):
     assert err_exact < err_old / 4
 
 
+def test_exact_reduce_edge_shapes(rng):
+    """Structure stress for the exact reduce: interleaved empty rows
+    (width-0 sentinel slots), one giant row spanning many sublane rows
+    (deep carry chain), a single entry, and non-128-multiple dims."""
+    m = n = 3000
+    cases = [
+        sps.csr_matrix((rng.standard_normal(m * 4).astype(np.float32),
+                        (rng.integers(0, m // 3, m * 4) * 3,
+                         rng.integers(0, n, m * 4))), shape=(m, n)),
+        sps.csr_matrix((rng.standard_normal(20000).astype(np.float32),
+                        (np.zeros(20000, np.int64),
+                         rng.integers(0, n, 20000))), shape=(m, n)),
+        sps.csr_matrix((np.array([2.5], np.float32),
+                        (np.array([7]), np.array([11]))), shape=(m, n)),
+        sps.csr_matrix((rng.standard_normal(5000).astype(np.float32),
+                        (rng.integers(0, 1021, 5000),
+                         rng.integers(0, 777, 5000))), shape=(1021, 777)),
+    ]
+    for S in cases:
+        S.sum_duplicates()
+        plan = SPR.SpmvRoutePlan(S.indptr, S.indices, S.data, S.shape)
+        x = rng.standard_normal(S.shape[1]).astype(np.float32)
+        y = np.asarray(SPR.spmv_route(jnp.asarray(x), plan,
+                                      interpret=True))
+        ref = S.astype(np.float64) @ x.astype(np.float64)
+        err = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-30)
+        assert err < 2e-5, (S.shape, err)
+
+
 def test_exact_reduce_carry_chain(rng):
     """Heavy rows span many sublane rows; the (tail, no-sentinel) carry
     chain (cg_stages > 0) must thread their mass across row boundaries."""
