@@ -27,7 +27,7 @@ REF_1CORE = {
     "spmv_s": 0.0926, "bfs_s": 0.1671, "pagerank_iter_s": 0.1610,
     "triangle_count_s": 1.8647, "spgemm_s": 54.62, "ntri": 647,
     "spgemm_cnnz": 268406919,
-    "spmm_dense4_s": 0.2446,
+    "spmm_dense4_s": 0.2446, "spmspv_s": 0.0077,
     "transpose_s": 0.6245, "ewiseadd_s": 0.6760, "extract_perm_s": 1.9404,
     "ewiseadd_cnnz": 33553873,
 }
@@ -150,6 +150,21 @@ def main():
     def _vs(key, s):
         r = REF_1CORE.get(key)
         return round(r / s, 2) if r else None
+
+    # ---- SpMSpV y = x*S, x 1% dense (dobench row: y=x*S) ---------------
+    xi = np.arange(0, n, 100, dtype=np.int64)
+    xv = (1e-3 * (xi % 97 + 1)).astype(np.float32)
+    xs = gb.Vector.from_coo(xi, xv, n)
+    ys = gb.vxm(xs, A, SR.PLUS_TIMES)            # warm
+    _ = float(np.asarray(jnp.sum(ys.values)))
+    t0 = time.perf_counter()
+    ys = gb.vxm(xs, A, SR.PLUS_TIMES)
+    _ = float(np.asarray(jnp.sum(ys.values)))
+    vxm_s = time.perf_counter() - t0 - SYNC_FLOOR_S
+    out["spmspv"] = {
+        "s": round(vxm_s, 4),
+        "vs_ref_this_host": _vs("spmspv_s", vxm_s)}
+    print(json.dumps({"config": "spmspv", **out["spmspv"]}), flush=True)
 
     ii = np.arange(n)[:, None]
     Fm = gb.Matrix.from_dense(

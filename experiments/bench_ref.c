@@ -145,6 +145,24 @@ int main(int argc, char **argv) {
   printf("{\"op\": \"triangle_count\", \"s\": %.4f, \"ntri\": %lld}\n",
          tc_s, (long long)ntri);
 
+  /* ---- SpMSpV y = x*S, x 1% dense (dobench_results.txt:102) ---- */
+  GrB_Vector xs, ys;
+  OK(GrB_Vector_new(&xs, GrB_FP32, n));
+  OK(GrB_Vector_new(&ys, GrB_FP32, n));
+  for (GrB_Index i = 0; i < (GrB_Index)n; i += 100)
+    OK(GrB_Vector_setElement_FP32(xs, 1e-3f * (float)(i % 97 + 1), i));
+  OK(GrB_Vector_wait(xs, GrB_MATERIALIZE));
+  OK(GrB_vxm(ys, NULL, NULL, GrB_PLUS_TIMES_SEMIRING_FP32, xs, S, NULL));
+  OK(GrB_Vector_wait(ys, GrB_MATERIALIZE));   /* warm */
+  int vreps = 10;
+  t0 = now();
+  for (int r = 0; r < vreps; ++r) {
+    OK(GrB_vxm(ys, NULL, NULL, GrB_PLUS_TIMES_SEMIRING_FP32, xs, S, NULL));
+    OK(GrB_Vector_wait(ys, GrB_MATERIALIZE));
+  }
+  double vxm_s = (now() - t0) / vreps;
+  printf("{\"op\": \"spmspv\", \"s\": %.4f}\n", vxm_s);
+
   /* ---- SpMM dense C = S*F, F n x 4 (dobench_results.txt:103) ---- */
   GrB_Matrix Fm, Cmm;
   OK(GrB_Matrix_new(&Fm, GrB_FP32, n, 4));
