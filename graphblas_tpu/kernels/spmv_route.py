@@ -853,10 +853,12 @@ def _phase2ext_exact_kernel(x_ref, ii_ref, bits_ref, io_ref,
     while k < 128:
         L = L + jnp.where(lane >= k, pltpu.roll(L, k, 1), 0.0)
         k *= 2
-    li = li_ref[:]
+    # widen the int8 plan blocks before comparing: Mosaic on v5e cannot
+    # lower cmpi on i8 vectors ("Target does not support this comparison")
+    li = li_ref[:].astype(jnp.int32)
     anys = (li >= 0)
     lastL = jnp.take_along_axis(
-        L, jnp.maximum(li, 0).astype(jnp.int32), axis=1)
+        L, jnp.maximum(li, 0), axis=1)
     rowtot = jax.lax.broadcast_in_dim(L[:, 127], L.shape, (0,))
     tail = rowtot - jnp.where(anys, lastL, 0.0)   # mass after last sentinel
     g = jnp.where(anys, 0.0, 1.0)
@@ -880,7 +882,7 @@ def _phase2ext_exact_kernel(x_ref, ii_ref, bits_ref, io_ref,
     b = pltpu.roll(a, 1, 0)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 1)
     prev = jnp.where(lane2 == 0, b, a)
-    y_ref[:] = sel - jnp.where(sr_ref[:] != 0, prev, 0.0)
+    y_ref[:] = sel - jnp.where(sr_ref[:].astype(jnp.int32) != 0, prev, 0.0)
 
 
 def _gather_phase1_kernel(xt_ref, hi_ref, val_ref, ii_ref, bits_ref,
