@@ -80,37 +80,47 @@ def _sort_reduce_body(kx, vx, C, SB, add_fn, tx=None, want_token=True):
     (reference: Source/GB_AxB_dot3_template.c's mask-driven pattern)."""
     posC = _posC(kx.shape, C)
     # ---- bitonic sort (ascending per C-run) -------------------------------
+    # flag arithmetic stays in int32: Mosaic (2026-08 toolchain) lowers
+    # bool==bool vector compares through i8 and cannot truncate i8->i1
     logC = C.bit_length() - 1
     for k in range(1, logC + 1):
-        asc = (posC & (1 << k)) == 0 if k < logC else \
-            jnp.ones(kx.shape, jnp.bool_)
-        for d in (1 << j for j in range(k - 1, -1, -1)):
+        # direction bit as raw int32 (asc when bit_k == 0); never build
+        # i1==i1 compares — Mosaic folds casts and can't lower them
+        bit_k = (posC >> k) & 1 if k < logC \
+            else jnp.zeros(kx.shape, jnp.int32)
+        for j in range(k - 1, -1, -1):
+            d = 1 << j
             pk = _xor_partner(kx, d, SB)
             pv = _xor_partner(vx, d, SB)
-            lower = (posC & d) == 0
-            take_min = asc == lower
-            swap = jnp.where(take_min, pk < kx, pk > kx)
+            bit_d = (posC >> j) & 1
+            take_min = bit_k == bit_d
+            lt_i = (pk < kx).astype(jnp.int32)
+            gt_i = (pk > kx).astype(jnp.int32)
+            swap = jnp.where(take_min, lt_i, gt_i) != 0
             kx = jnp.where(swap, pk, kx)
             vx = jnp.where(swap, pv, vx)
             if tx is not None:
                 pt = _xor_partner(tx, d, SB)
                 tx = jnp.where(swap, pt, tx)
     # ---- segmented inclusive scan over duplicate runs ---------------------
+    # flags ride in int32 lanes: pltpu.roll of i1 vectors does not lower
     prev_k = _flat_shift(kx, 1, SB)
-    flag = (posC == 0) | (kx != prev_k)
+    flag_i = (((posC == 0).astype(jnp.int32)
+               + (kx != prev_k).astype(jnp.int32)) != 0).astype(jnp.int32)
     v = vx
     t = tx
-    f = flag
+    f = flag_i
     s = 1
     while s < C:
         v_in = _flat_shift(v, s, SB)
         f_in = _flat_shift(f, s, SB)
-        beyond = posC < s
-        v = jnp.where(f | beyond, v, add_fn(v_in, v))
+        beyond_i = (posC < s).astype(jnp.int32)
+        stop = (f | beyond_i) != 0
+        v = jnp.where(stop, v, add_fn(v_in, v))
         if t is not None:
             t_in = _flat_shift(t, s, SB)
-            t = jnp.where(f | beyond, t, t_in | t)
-        f = f | f_in | beyond
+            t = jnp.where(stop, t, t_in | t)
+        f = f | f_in | beyond_i
         s *= 2
     # ---- run-end extraction ----------------------------------------------
     # next element (p + 1) via the inverse flat shift: roll up by 1

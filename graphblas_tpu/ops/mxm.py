@@ -27,6 +27,8 @@ TPU redesign:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -469,11 +471,49 @@ def _spgemm_esc(A, B, sr, zt, mask, desc, accum,
         return Matrix((m, n), zt, SPARSE, ROW)
     a_rows = K.expand_rowids(Ar.indptr, nnzA, m)
     from . import spgemm_fast as SGF
+    from . import spgemm_sell as SGS
     fast = SGF.eligible(sr, zt)
     # off-TPU the kernel runs in (slow) interpret mode — spec-test scale only
     interp = jax.default_backend() not in ("tpu", "axon")
     if interp and F > (1 << 20):
         fast = False
+    # round-3 SELL engine: one scan-over-blocks executable, SELL-8 row
+    # gathers, in-sort mask tokens; GB_SPGEMM_TIER=v1|classic opts down
+    tier = os.environ.get("GB_SPGEMM_TIER", "sell")
+    if tier == "sell" and SGS.eligible(sr, zt, n) \
+            and not (interp and F > (1 << 20)):
+        ip_h = np.asarray(Ar.indptr).astype(np.int64)
+        cumf_h = np.asarray(cumf)
+        row_cum = cumf_h[ip_h]
+
+        def classic_rows(rows):
+            """Over-cap rows via classic argsort ESC.  rows: global np
+            row ids (ascending).  Returns (counts, uvec, uidx, cv)."""
+            p_parts = [np.arange(row_cum[r], row_cum[r + 1])
+                       for r in rows]
+            p_fb = jnp.asarray(np.concatenate(p_parts))
+            keys, prod = _spgemm_expand_at(Ar, Br, a_rows, cumf, p_fb,
+                                           sr, zt, n)
+            if mask is not None and mask.fmt in (SPARSE, HYPER):
+                eff = mask_bits_at_keys(mask, keys, n, ROW, desc)
+                _, (keys, prod) = K.compact(eff, keys, prod)
+            order = jnp.argsort(keys, stable=False)
+            skeys = keys[order]
+            sprod = prod[order]
+            gid, ng = K.group_ids(skeys)
+            cv = K.segment_reduce(sprod, gid, ng, sr.add)
+            ukeys = jnp.zeros((ng,), skeys.dtype).at[gid].set(skeys)
+            uvec, uidx = K.key_split(ukeys, n)
+            rows_d = jnp.asarray(rows.astype(np.int64))
+            rowix = jnp.searchsorted(rows_d, uvec).astype(jnp.int64)
+            counts_fb = jnp.zeros((rows.size,), jnp.int64) \
+                .at[rowix].add(1)
+            return counts_fb, uvec.astype(jnp.int64), uidx, cv
+
+        Tsell = SGS.spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask,
+                                desc, interp, classic_rows)
+        if Tsell is not None:
+            return Tsell
     if F <= SPGEMM_FLOP_BLOCK and not fast:
         out = _spgemm_block(Ar, Br, a_rows, cumf, 0, F, sr, zt, m, n,
                             mask, desc, relabel)

@@ -137,6 +137,21 @@ def _load():
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int64)]
+        if hasattr(lib, "gbtpu_spgemm_layout"):
+            lib.gbtpu_spgemm_layout.restype = ctypes.c_int64
+            lib.gbtpu_spgemm_layout.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64]
         if hasattr(lib, "gbtpu_gather_finalize"):
             lib.gbtpu_gather_finalize.argtypes = [
                 ctypes.POINTER(ctypes.c_int64),
@@ -567,3 +582,87 @@ def clos_lanes(src_row, dst_row, tile, R: int, L: int, T: int):
                          _ptr(cnt, ctypes.c_int64),
                          _ptr(color, ctypes.c_int8))
     return lane
+
+
+def spgemm_layout(row_nseg, row_nent, row_tok, tile_segs: int,
+                  blk_segs: int, blk_ents: int, blk_rows: int):
+    """SELL SpGEMM layout sweep (see native gbtpu_spgemm_layout): padded
+    per-row segment starts (never straddling a sort tile), per-row tile
+    ranks, and block boundary arrays under segment/entry/row/token
+    budgets.  Pure-python fallback when the native library is absent.
+
+    Returns (row_startseg (m+1,) int64, tile_rank (m,) int32,
+    blk_r0, blk_e0, blk_t0, blk_seg0  — each (nblocks,) int64).
+    """
+    m = row_nseg.shape[0]
+    rn = np.ascontiguousarray(row_nseg, np.int64)
+    re_ = np.ascontiguousarray(row_nent, np.int64)
+    rt = None if row_tok is None else np.ascontiguousarray(row_tok, np.uint8)
+    lib = _load()
+    if lib is not None and hasattr(lib, "gbtpu_spgemm_layout"):
+        starts = np.empty(m + 1, np.int64)
+        rank = np.empty(m, np.int32)
+        maxb = max(16, 2 * (int(rn.sum()) // max(blk_segs, 1) + 2)
+                   + m // max(blk_rows, 1) + 4)
+        br0 = np.empty(maxb, np.int64)
+        be0 = np.empty(maxb, np.int64)
+        bt0 = np.empty(maxb, np.int64)
+        bs0 = np.empty(maxb, np.int64)
+        nb = lib.gbtpu_spgemm_layout(
+            _ptr(rn, ctypes.c_int64), _ptr(re_, ctypes.c_int64),
+            None if rt is None else _ptr(rt, ctypes.c_uint8),
+            m, tile_segs, blk_segs, blk_ents, blk_rows,
+            _ptr(starts, ctypes.c_int64), _ptr(rank, ctypes.c_int32),
+            _ptr(br0, ctypes.c_int64), _ptr(be0, ctypes.c_int64),
+            _ptr(bt0, ctypes.c_int64), _ptr(bs0, ctypes.c_int64), maxb)
+        if nb > 0:
+            return (starts, rank, br0[:nb].copy(), be0[:nb].copy(),
+                    bt0[:nb].copy(), bs0[:nb].copy())
+    # pure-python sweep (identical semantics; test/CI scale)
+    starts = np.empty(m + 1, np.int64)
+    rank = np.zeros(m, np.int32)
+    br0, be0, bt0, bs0 = [], [], [], []
+    cursor = ecur = tcur = 0
+    tile0 = 0
+    rk = 0
+    for r in range(m):
+        s = int(rn[r])
+        ne = int(re_[r])
+        nt = int(rt[r]) if rt is not None else 0
+        if s > 0:
+            if cursor - tile0 + s > tile_segs:
+                tile0 += tile_segs
+                cursor = tile0
+                rk = 0
+            need = (not br0 or (cursor + s) - bs0[-1] > blk_segs
+                    or (ecur + ne) - be0[-1] > blk_ents
+                    or (r + 1) - br0[-1] > blk_rows
+                    or (tcur + nt) - bt0[-1] > blk_rows)
+            if need:
+                cursor = ((cursor + blk_segs - 1) // blk_segs) * blk_segs
+                if br0 and cursor == bs0[-1]:
+                    cursor += blk_segs
+                if not br0:
+                    cursor = 0
+                tile0 = cursor
+                rk = 0
+                br0.append(r)
+                be0.append(ecur)
+                bt0.append(tcur)
+                bs0.append(cursor)
+            starts[r] = cursor
+            rank[r] = rk
+            cursor += s
+            rk += 1
+        else:
+            starts[r] = cursor
+        ecur += ne
+        tcur += nt
+    starts[m] = ((cursor + blk_segs - 1) // blk_segs) * blk_segs
+    if not br0:
+        br0, be0, bt0, bs0 = [0], [0], [0], [0]
+        if starts[m] == 0:
+            starts[m] = blk_segs
+    return (starts, rank, np.asarray(br0, np.int64),
+            np.asarray(be0, np.int64), np.asarray(bt0, np.int64),
+            np.asarray(bs0, np.int64))

@@ -910,4 +910,84 @@ void gbtpu_gather_finalize(const int64_t* key, const int32_t* slot,
   }
 }
 
+// ---------------------------------------------------------------------------
+// spgemm_layout: the SELL SpGEMM layout sweep — one O(m) pass assigning
+// every output row a padded slot range (multiple of SEGW slots, never
+// straddling a sort tile), a rank within its tile (for key packing), and
+// splitting the padded slot space into fixed-size blocks under segment /
+// entry / row / token budgets.  The TPU analog of the coarse-task slicing
+// in the reference (Source/GB_AxB_saxpy3_slice_balanced); sequential by
+// nature, hence native.
+//
+// row_nseg: per-row segment count (0 = empty or fallback row)
+// row_nent: per-row REAL entry count (A degree)
+// row_tok:  1 if the row carries a token (mask) entry
+// Outputs: row_startseg (m+1; [m] = total padded segs rounded to blk_segs),
+// tile_rank (m), block starts blk_r0/e0/t0/seg0 (max_blocks each).
+// Returns nblocks, or -1 if max_blocks would be exceeded.
+int64_t gbtpu_spgemm_layout(const int64_t* row_nseg, const int64_t* row_nent,
+                            const uint8_t* row_tok, int64_t m,
+                            int64_t tile_segs, int64_t blk_segs,
+                            int64_t blk_ents, int64_t blk_rows,
+                            int64_t* row_startseg, int32_t* tile_rank,
+                            int64_t* blk_r0, int64_t* blk_e0,
+                            int64_t* blk_t0, int64_t* blk_seg0,
+                            int64_t max_blocks) {
+  int64_t cursor = 0;      // segs
+  int64_t ecur = 0;        // real entries consumed
+  int64_t tcur = 0;        // token entries consumed
+  int64_t nblk = 0;
+  int64_t rank = 0;        // rows started in the current tile
+  int64_t tile0 = 0;       // current tile start (segs)
+  for (int64_t r = 0; r < m; ++r) {
+    int64_t s = row_nseg[r];
+    int64_t ne = row_nent[r];
+    int64_t nt = row_tok ? (int64_t)row_tok[r] : 0;
+    if (s > 0) {
+      // tile bump: rows never straddle a tile
+      if (cursor - tile0 + s > tile_segs) {
+        tile0 += tile_segs;
+        cursor = tile0;
+        rank = 0;
+      }
+      // block budgets (segment space, real entries, rows, tokens)
+      const int64_t base = nblk > 0 ? blk_seg0[nblk - 1] : 0;
+      const bool need_block =
+          nblk == 0 || (cursor + s) - base > blk_segs ||
+          (ecur + ne) - blk_e0[nblk - 1] > blk_ents ||
+          (r + 1) - blk_r0[nblk - 1] > blk_rows ||
+          (tcur + nt) - blk_t0[nblk - 1] > blk_rows;
+      if (need_block) {
+        if (nblk >= max_blocks) return -1;
+        cursor = ((cursor + blk_segs - 1) / blk_segs) * blk_segs;
+        if (nblk > 0 && cursor == base) cursor += blk_segs;  // force new
+        if (nblk == 0) cursor = 0;
+        tile0 = cursor;
+        rank = 0;
+        blk_r0[nblk] = r;
+        blk_e0[nblk] = ecur;
+        blk_t0[nblk] = tcur;
+        blk_seg0[nblk] = cursor;
+        ++nblk;
+      }
+      row_startseg[r] = cursor;
+      tile_rank[r] = (int32_t)rank;
+      cursor += s;
+      ++rank;
+    } else {
+      row_startseg[r] = cursor;
+      tile_rank[r] = 0;
+    }
+    ecur += ne;
+    tcur += nt;
+  }
+  row_startseg[m] = ((cursor + blk_segs - 1) / blk_segs) * blk_segs;
+  if (nblk == 0) {
+    blk_r0[0] = 0; blk_e0[0] = 0; blk_t0[0] = 0; blk_seg0[0] = 0;
+    nblk = 1;
+    if (row_startseg[m] == 0) row_startseg[m] = blk_segs;
+  }
+  return nblk;
+}
+
 }  // extern "C"
