@@ -97,6 +97,12 @@ def segment_reduce(vals, seg_ids, num_segments: int, monoid: Monoid,
     if n == 0:
         return jnp.full((num_segments,) + tail, ident)
     name = monoid.op.name
+    if dt == jnp.bool_ and name in ("GrB_PLUS", "GrB_MAX"):
+        # boolean arithmetic collapses: plus == max == lor on bool
+        # (reference: GB_ops.c boolean monoid renames)
+        name = "GrB_LOR"
+    elif dt == jnp.bool_ and name in ("GrB_TIMES", "GrB_MIN"):
+        name = "GrB_LAND"
     if name in _NATIVE:
         if name in ("GrB_MIN", "GrB_MAX") and np.issubdtype(dt, np.floating):
             # native segment_min/max propagate NaN; GraphBLAS MIN/MAX are

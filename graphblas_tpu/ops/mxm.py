@@ -121,6 +121,31 @@ def vxm(u: Matrix, A: Matrix, sr: Semiring, *, C=None, mask=None,
     A = maybe_transpose(A, desc.transpose1)
     if A.nrows != u.nrows:
         raise E.DimensionMismatch(f"vxm: {u.shape}' x {A.shape}")
+    zt = _ztype(sr, u, A, None)
+    d2 = desc.with_(transpose0=False, transpose1=False)
+    # SpMSpV fast path: u sparse, A sparse ROW -> compute u' (x) A
+    # DIRECTLY as a 1-row SpGEMM over A's rows at supp(u).  The old
+    # A'-times-u formulation physically transposed A (seconds at GAP
+    # scale) before touching the ~nnz(u)*deg products that actually
+    # matter (reference analog: the saxpy SpMSpV of
+    # Source/GB_AxB_saxpy.c with a sparse accumulator).
+    if (u.fmt in (SPARSE, HYPER) and u.orient == COL
+            and A.fmt in (SPARSE, HYPER) and A.orient == ROW
+            and not sr.mult.positional
+            and mask is None and not u._pending and not A._pending):
+        Tv = _spmspv_scatter(u, A, sr, zt)
+        if Tv is not None:
+            CFG.burble("vxm: spmspv dense-accumulator path")
+            return writeback(C, mask, accum, Tv, d2, out_dtype,
+                             out_class=Vector)
+        # u is n-by-1 stored by column, so its logical transpose is
+        # ALREADY the 1-by-n CSR row — zero data movement
+        ut = logical_transpose(u.to_format(SPARSE, COL))
+        CFG.burble("vxm: spmspv path (1-row spgemm, no transpose)")
+        Tm = _spgemm_esc(ut, A, sr, zt, None, d2, accum)
+        Tv = logical_transpose(Tm)
+        return writeback(C, mask, accum, Tv, d2, out_dtype,
+                         out_class=Vector)
     At = logical_transpose(A)
     if sr.mult.positional:
         sr2 = sr
@@ -128,10 +153,114 @@ def vxm(u: Matrix, A: Matrix, sr: Semiring, *, C=None, mask=None,
     else:
         sr2 = Semiring(sr.add, sr.mult.flipped(), name=sr.name + "_flip")
         relabel = _ident_relabel
-    zt = _ztype(sr, u, A, None)
     Tm = _mxm_dispatch(At, u, sr2, zt, mask, desc, accum, relabel)
-    d2 = desc.with_(transpose0=False, transpose1=False)
     return writeback(C, mask, accum, Tm, d2, out_dtype, out_class=Vector)
+
+
+# ---------------------------------------------------------------------------
+# SpMSpV: dense-accumulator saxpy (reference: the sparse-times-sparse-vector
+# regime of GB_AxB_saxpy.c — Gustavson with a dense accumulator of size n)
+# ---------------------------------------------------------------------------
+
+_SPMSPV_ADDS = ("GrB_PLUS", "GrB_MIN", "GrB_MAX", "GrB_LOR", "GxB_ANY")
+
+
+def _bucket8(x):
+    """Round up to pow2(x)/8 granularity (executable reuse, <=12.5% pad)."""
+    if x <= 8:
+        return max(int(x), 1)
+    p = 1
+    while p < x:
+        p *= 2
+    g = p // 8
+    return ((int(x) + g - 1) // g) * g
+
+
+_spmspv_cache = {}
+_spmspv_flops_cache: dict = {}
+
+
+def _spmspv_fn(Fb, m, add_name, mult, zt_name, logical):
+    key = (Fb, m, add_name, mult, zt_name, logical)
+    fn = _spmspv_cache.get(key)
+    if fn is not None:
+        return fn
+    kdt = jnp.dtype(zt_name) if not logical else jnp.dtype(jnp.int32)
+
+    def run(ui, uv, aip, aix, av, cumf, ident):
+        k = ui.shape[0]
+        pos = jnp.arange(Fb, dtype=cumf.dtype)
+        e = jnp.minimum(jnp.searchsorted(cumf[1:], pos, side="right"),
+                        k - 1)
+        off = pos - cumf[e]
+        valid = pos < cumf[-1]
+        p = jnp.where(valid, aip[ui[e]] + off, 0)
+        j = aix[p]
+        prod = mult.fn(uv[e], av[p]).astype(kdt)
+        tgt = jnp.where(valid, j, m)
+        pres = jnp.zeros((m,), jnp.int32).at[tgt].max(
+            valid.astype(jnp.int32), mode="drop") > 0
+        if add_name == "GrB_PLUS":
+            y = jnp.zeros((m,), kdt).at[tgt].add(
+                jnp.where(valid, prod, 0), mode="drop")
+        else:
+            fill = jnp.where(valid, prod, ident.astype(kdt))
+            acc = jnp.full((m,), ident.astype(kdt))
+            if add_name == "GrB_MIN":
+                y = acc.at[tgt].min(fill, mode="drop")
+            else:                       # MAX / LOR / ANY
+                y = acc.at[tgt].max(fill, mode="drop")
+            y = jnp.where(pres, y, 0)
+        return y, pres
+
+    fn = jax.jit(run)
+    _spmspv_cache[key] = fn
+    return fn
+
+
+def _spmspv_scatter(u, A, sr, zt):
+    """w = u' (x) A with u sparse: expand the ~nnz(u)*deg products and
+    scatter into a dense length-n accumulator under the add monoid.
+    Returns a BITMAP Vector (conform re-sparsifies), or None when the
+    monoid/dtype cannot ride a scatter."""
+    add_name = sr.add.op.name
+    if add_name not in _SPMSPV_ADDS or getattr(zt, "shape", None):
+        return None
+    if zt.is_complex:
+        return None
+    m = A.ncols
+    ui = u.indices.astype(INDEX)
+    k = int(ui.shape[0])
+    if k == 0:
+        return Vector(m, zt, SPARSE)
+    uv = u._vals_expanded()
+    aip = A.indptr
+    if A.fmt == HYPER:
+        A = A.to_format(SPARSE, ROW)
+        aip = A.indptr
+    ck = (id(u.indices), id(aip), int(ui.shape[0]))
+    ent = _spmspv_flops_cache.get(ck)
+    if ent is not None and ent[0] is u.indices and ent[1] is aip:
+        cumf, F = ent[2], ent[3]
+    else:
+        blen = jnp.diff(aip).astype(jnp.int64)[ui]
+        cumf = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                                jnp.cumsum(blen)])
+        F = int(cumf[-1])            # one host sync; cached per (u, A)
+        if len(_spmspv_flops_cache) > 8:
+            _spmspv_flops_cache.clear()
+        _spmspv_flops_cache[ck] = (u.indices, aip, cumf, F)
+    if F == 0:
+        return Vector(m, zt, SPARSE)
+    Fb = _bucket8(F)
+    logical = bool(zt.is_bool)
+    fn = _spmspv_fn(Fb, m, add_name, sr.mult, np.dtype(zt.np_dtype).name,
+                    logical)
+    ident = jnp.asarray(sr.add.identity_for(
+        np.int32 if logical else zt.np_dtype))
+    y, pres = fn(ui, uv, aip, A.indices, A._vals_expanded(), cumf, ident)
+    return Vector(m, zt, BITMAP, values=cast(y, zt)[:, None],
+                  bitmap=pres[:, None])
 
 
 # ---------------------------------------------------------------------------
@@ -408,6 +537,20 @@ def spmv_arrays(indptr, indices, values, x, m: int):
             if rp is not None:
                 rp = spmv_route.plan_to_device(rp)
                 return spmv_route.spmv_route(x.astype(jnp.float32), rp)
+        except Exception:  # pragma: no cover - fall back
+            pass
+    if _cfg.GLOBAL.pallas_enabled and values.dtype == jnp.float64:
+        # fp64 tier: double-single route executor (plan built from f64
+        # values carries the lo plane; see spmv_route.spmv_route_ds)
+        try:
+            from ..kernels import spmv_route
+            rp = spmv_route.plan_for(indptr, indices, values,
+                                     (m, int(x.shape[0])), build=False)
+            if rp is not None:
+                rp = spmv_route.plan_to_device(rp)
+                y = spmv_route.spmv_route_ds(x, rp)
+                if y is not None:
+                    return y
         except Exception:  # pragma: no cover - fall back
             pass
         try:

@@ -237,3 +237,42 @@ def test_spgemm_tiled_masked(rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(rp), np.asarray(tp))
     np.testing.assert_allclose(np.asarray(rv)[np.asarray(rp)],
                                np.asarray(tv)[np.asarray(tp)], rtol=1e-10)
+
+
+def test_spmspv_scatter_path(rng):
+    """vxm with sparse u rides the dense-accumulator SpMSpV (no transpose
+    of A, no SpGEMM machinery) and matches the oracle for PLUS/MIN/LOR."""
+    import scipy.sparse as sps
+    from graphblas_tpu.core import semiring as SRM
+
+    n = 300
+    S = sps.random(n, n, density=0.03, format="csr",
+                   random_state=np.random.RandomState(11),
+                   dtype=np.float32)
+    A = gb.Matrix.from_scipy(S)
+    xi = np.sort(rng.choice(n, 40, replace=False)).astype(np.int64)
+    xv = rng.standard_normal(40).astype(np.float32)
+    xs = gb.Vector.from_coo(xi, xv, n)
+    xd = np.zeros(n)
+    xd[xi] = xv
+    got = np.asarray(gb.vxm(xs, A, SRM.PLUS_TIMES).to_scipy()
+                     .toarray()).ravel()
+    want = S.T.astype(np.float64) @ xd
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # MIN_PLUS through the min-scatter branch
+    d = S.toarray()
+    ym = np.asarray(gb.vxm(xs, A, SRM.MIN_PLUS).to_scipy()
+                    .toarray()).ravel()
+    wantm = np.full(n, np.inf)
+    for j in range(n):
+        for i in xi:
+            if d[i, j] != 0:
+                wantm[j] = min(wantm[j], xd[i] + d[i, j])
+    fin = np.isfinite(wantm)
+    np.testing.assert_allclose(ym[fin], wantm[fin], rtol=1e-5)
+    assert (ym[~fin] == 0).all()
+    # bool LOR_LAND (also covers the bool-build plus->lor collapse)
+    xb = gb.Vector.from_coo(xi, np.ones(40, bool), n, dtype="bool")
+    yb = np.asarray(gb.vxm(xb, A, SRM.LOR_LAND, out_dtype="bool")
+                    .to_scipy().toarray()).ravel() != 0
+    assert np.array_equal(yb, (d[xi, :] != 0).any(0))

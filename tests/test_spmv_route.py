@@ -117,3 +117,54 @@ def test_exact_reduce_carry_chain(rng):
     want = S.astype(np.float64) @ x.astype(np.float64)
     err = np.abs(y - want).max() / (np.abs(want).mean() + 1e-30)
     assert err < 5e-5, err
+
+
+def test_route_ds_fp64(rng):
+    """fp64 tier: double-single (hi/lo f32) route executor.  Backward-
+    style error (scaled by the row 1-norm |A||x|) must sit at the ds
+    design bound ~2^-48 * reduce depth — far below f32's 2^-24."""
+    n = 2048
+    S = sps.random(n, n, density=0.01, format="csr",
+                   random_state=np.random.RandomState(7),
+                   dtype=np.float64)
+    S.data[:] = rng.standard_normal(S.nnz) * 1e3
+    plan = SPR.SpmvRoutePlan(S.indptr, S.indices, S.data, (n, n))
+    assert plan.g.val_lo is not None
+    x = rng.standard_normal(n) * 1e2
+    y = SPR.spmv_route_ds(jnp.asarray(x), plan, interpret=True)
+    assert y is not None and y.dtype == jnp.float64
+    want = S @ x
+    Sa = S.copy()
+    Sa.data = np.abs(Sa.data)
+    scale = np.maximum(Sa @ np.abs(x), 1e-30)
+    scaled = np.abs(np.asarray(y) - want) / scale
+    assert scaled.max() < 1e-13, scaled.max()
+    # heavy-row split path: hub row exercises extra_owner on the ds tier
+    Sh = S.tolil()
+    Sh[3, :] = rng.standard_normal(n)
+    Sh = Sh.tocsr()
+    plan2 = SPR.SpmvRoutePlan(Sh.indptr, Sh.indices, Sh.data, (n, n))
+    y2 = SPR.spmv_route_ds(jnp.asarray(x), plan2, interpret=True)
+    want2 = Sh @ x
+    Sa2 = Sh.copy()
+    Sa2.data = np.abs(Sa2.data)
+    sc2 = np.abs(np.asarray(y2) - want2) / np.maximum(Sa2 @ np.abs(x),
+                                                      1e-30)
+    assert sc2.max() < 1e-13, sc2.max()
+
+
+def test_route_ds_plan_roundtrip(rng, tmp_path):
+    """f64 plans serialize with the lo plane and reload ds-capable."""
+    n = 1024
+    S = sps.random(n, n, density=0.02, format="csr",
+                   random_state=np.random.RandomState(8),
+                   dtype=np.float64)
+    plan = SPR.SpmvRoutePlan(S.indptr, S.indices, S.data, (n, n))
+    p = str(tmp_path / "plan64.npz")
+    SPR.save_plan(plan, p)
+    plan2 = SPR.load_plan(p)
+    assert plan2.g.val_lo is not None
+    x = rng.standard_normal(n)
+    y = np.asarray(SPR.spmv_route_ds(jnp.asarray(x), plan2,
+                                     interpret=True))
+    np.testing.assert_allclose(y, S @ x, rtol=1e-12, atol=1e-9)
