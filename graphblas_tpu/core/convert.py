@@ -144,11 +144,16 @@ def _sparse_reorient(a: Matrix, orient: str) -> Matrix:
         vec_ids, idx, nvec, veclen = rows, cols, a.nrows, a.ncols
     else:
         vec_ids, idx, nvec, veclen = cols, rows, a.ncols, a.nrows
-    order, skeys = K.sort_coo(vec_ids, idx, veclen)
+    keys = K.make_key(vec_ids, idx, veclen)
+    if a.iso:
+        skeys = jnp.sort(keys)
+        svals = a.values
+    else:
+        skeys, svals = K.sort_with_payload(keys, vals)
     svec, sidx = K.key_split(skeys, veclen)
     indptr = K.indptr_from_sorted(svec, nvec, INDEX)
     return _clone(a, orient=orient, indptr=indptr, indices=sidx,
-                  values=vals[order] if not a.iso else a.values)
+                  values=svals)
 
 
 # -- conform (reference: Source/GB_conform.c — applied after every op) ------

@@ -196,7 +196,8 @@ def _scalar_mask_merge(C, scalar, mask, desc):
         cntm, (mk,) = K.compact(keepm, mk)
     sval = jnp.asarray(scalar).astype(C.dtype.np_dtype)
     mfill = jnp.broadcast_to(sval, mk.shape)
-    ukeys, ucv, umv, c_in, m_in = K.union_merge(ck, cvals, mk, mfill)
+    ukeys, ucv, umv, c_in, m_in = K.union_merge(
+        ck, cvals, mk, mfill, key_bound=Cs._veclen() * Cs._nvec_dim())
     vals = jnp.where(m_in, umv, ucv)
     veclen = C._veclen()
     uvec, uidx = K.key_split(ukeys, veclen)

@@ -205,7 +205,8 @@ def apply_pending(A, pend) -> None:
     vec_ids, idx = (rows, cols) if S.orient == ROW else (cols, rows)
     ekeys = K.make_key(vec_ids, idx, veclen)
     ukeys, eav, pbv, e_in, p_in = K.union_merge(
-        ekeys, S._vals_expanded(), jnp.asarray(pk), jnp.asarray(vv))
+        ekeys, S._vals_expanded(), jnp.asarray(pk), jnp.asarray(vv),
+        key_bound=veclen * nvec)
     p_del = jnp.zeros(ukeys.shape[0], bool).at[
         jnp.searchsorted(ukeys, jnp.asarray(pk))].set(jnp.asarray(dd),
                                                       mode="drop")

@@ -104,7 +104,8 @@ def _ewise_sparse(A, B, op, mode, zt, alpha, beta):
     B = B.to_format(SPARSE) if B.fmt == HYPER else B
     ak, avals = _keys_of(A)
     bk, bvals = _keys_of(B)
-    ukeys, uav, ubv, a_in, b_in = K.union_merge(ak, avals, bk, bvals)
+    ukeys, uav, ubv, a_in, b_in = K.union_merge(
+        ak, avals, bk, bvals, key_bound=A._veclen() * A._nvec_dim())
     veclen = A._veclen()
     if op.positional:
         zv = _positional_vals(op, ukeys, veclen, orient, zt.np_dtype)

@@ -58,13 +58,26 @@ def mask_bits_at_keys(mask: Matrix, keys, veclen: int, orient: str,
     return ~m if desc.mask_complement else m
 
 
+_keys_cache: dict = {}
+
+
 def _keys_of(a: Matrix):
     """(sorted int64 keys, expanded values) of a sparse/hyper matrix in its
-    own orientation's storage order."""
+    own orientation's storage order.  Keys are cached per pattern identity
+    (patterns are immutable arrays): rebuilding the expand-rowids + key
+    pack costs ~0.2 s at 16.7M nnz on the tunnel."""
     a = a.to_format(SPARSE) if a.fmt == HYPER else a
+    ck = (id(a.indptr), id(a.indices), a.orient)
+    ent = _keys_cache.get(ck)
+    if ent is not None and ent[0] is a.indptr and ent[1] is a.indices:
+        return ent[2], a._vals_expanded()
     rows, cols = a._coords()
     vec, idx = (rows, cols) if a.orient == ROW else (cols, rows)
-    return K.make_key(vec, idx, a._veclen()), a._vals_expanded()
+    keys = K.make_key(vec, idx, a._veclen())
+    if len(_keys_cache) > 16:
+        _keys_cache.clear()
+    _keys_cache[ck] = (a.indptr, a.indices, keys)
+    return keys, a._vals_expanded()
 
 
 def writeback(C: Matrix | None, mask: Matrix | None, accum, Tm: Matrix,
@@ -137,7 +150,8 @@ def _writeback_sparse(C, mask, accum, Tm, desc, dt):
     tk, tvals = _keys_of(Tm)
     cvals = cast(cvals, dt)
     tvals = cast(tvals, dt)
-    ukeys, ucv, utv, c_in, t_in = K.union_merge(ck, cvals, tk, tvals)
+    ukeys, ucv, utv, c_in, t_in = K.union_merge(
+        ck, cvals, tk, tvals, key_bound=Cs._veclen() * Cs._nvec_dim())
     if accum is None:
         zv = T.wh(t_in, utv, ucv)
         z_in = t_in
