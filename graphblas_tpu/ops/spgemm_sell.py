@@ -128,6 +128,16 @@ def _bits32(x):
         x, jnp.int32).astype(jnp.int64) & LOW32
 
 
+def _bits32i(x):
+    """Reinterpret a 32-bit array as raw int32 bits (table value plane)."""
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _unbits32i(x, kdt):
+    return jax.lax.bitcast_convert_type(
+        x, jnp.float32 if kdt == jnp.dtype(jnp.float32) else jnp.int32)
+
+
 def _unbits32(x, kdt):
     u = (x & LOW32).astype(jnp.uint32)
     return jax.lax.bitcast_convert_type(
@@ -152,8 +162,8 @@ def _pass1_fn(sig):
     D_BLOCK = S8 * SEGW
     need_av = mode_av in ("first", "general")
 
-    def run(tbl, ent, tok, rows, blocks):
-        tblN = tbl.shape[0]
+    def run(tblj, tblv, ent, tok, rows, blocks):
+        tblN = tblj.shape[0]
 
         def body(carry, xs):
             OK, OV = carry
@@ -176,52 +186,57 @@ def _pass1_fn(sig):
                 rs_all, sb_all, ns_all = rs_ent, sb_ent, ns_ent
             ok_e = (rs_all >= 0) & (rs_all < S8) & (ns_all > 0)
             pos = jnp.where(ok_e, rs_all, -1).astype(jnp.int32)
-            # expansion fills over the segment domain: rank = position
-            pk1 = ((jnp.maximum(pos, 0).astype(jnp.int64) + 1) << 32) \
-                | ((sb_all - pos + BIAS) & LOW32)
-            buf1 = jnp.zeros((S8,), jnp.int64).at[pos].max(
-                pk1, mode="drop")
-            fill1 = jax.lax.cummax(buf1, axis=0)
+            # Expansion fills over the segment domain.  Everything runs
+            # in int32: a 64-bit scatter costs 10x a 32-bit one on v5e
+            # (measured 0.24s vs 0.024s at 2^21), so the old packed
+            # (pos << 32 | payload) int64 scatter-max fills are replaced
+            # by per-payload int32 scatters + ONE shared marker cummax +
+            # gathers.  Positions are unique (each run start owns its
+            # segment), so plain scatter-set planes stay consistent.
+            mark = jnp.zeros((S8,), jnp.int32).at[pos].set(
+                pos + 1, mode="drop")
+            last = jax.lax.cummax(mark, axis=0) - 1        # latest start
+            lastc = jnp.maximum(last, 0)
+            base_p = jnp.zeros((S8,), jnp.int32).at[pos].set(
+                sb_all - pos + BIAS, mode="drop")
             segiota = jnp.arange(S8, dtype=jnp.int32)
-            bseg = ((fill1 & LOW32) - BIAS).astype(jnp.int32) + segiota
+            bseg = (base_p[lastc] - BIAS) + segiota
             rend = jnp.zeros((S8,), jnp.int32).at[pos].max(
                 (pos + ns_all).astype(jnp.int32), mode="drop")
             rend = jax.lax.cummax(rend, axis=0)
             vseg = segiota < rend
             if need_av:
-                av_e = sl(ent["avbits"], e0, E_BLK)
+                av_e = sl(ent["av"], e0, E_BLK)
                 if masked:
                     av_e = jnp.concatenate(
-                        [av_e, jnp.zeros((R_BLK,), jnp.int64)])
-                pk2 = ((jnp.maximum(pos, 0).astype(jnp.int64) + 1)
-                       << 32) | av_e
-                buf2 = jnp.zeros((S8,), jnp.int64).at[pos].max(
-                    pk2, mode="drop")
-                av = _unbits32(jax.lax.cummax(buf2, axis=0),
-                               kdt)[:, None]              # (S8, 1)
+                        [av_e, jnp.zeros((R_BLK,), kdt)])
+                av_p = jnp.zeros((S8,), kdt).at[pos].set(
+                    av_e, mode="drop")
+                av = av_p[lastc][:, None]                  # (S8, 1)
             # row rank fill (key high bits); ranks RESET per tile so the
-            # fill must be latest-position, not max-rank — pack position
-            # into the high bits like the other fills
+            # fill reads the latest row START's rank via its own marker
             rstart = sl(rows["startseg"], r0, R_BLK) - seg0
             rrank = sl(rows["rank"], r0, R_BLK)
             rok = (rstart >= 0) & (rstart < S8)
             rpos = jnp.where(rok, rstart, -1).astype(jnp.int32)
-            pkr = ((jnp.maximum(rpos, 0).astype(jnp.int64) + 1) << 32) \
-                | (rrank.astype(jnp.int64) + 1)
-            bufr = jnp.zeros((S8,), jnp.int64).at[rpos].max(
-                pkr, mode="drop")
-            rankf = ((jax.lax.cummax(bufr, axis=0) & LOW32)
-                     ).astype(jnp.int32) - 1               # (S8,)
-            # table row gather: j and b-value bits together
-            rows8 = tbl[jnp.clip(bseg, 0, tblN - 1)]       # (S8, 8) i64
-            j = (rows8 >> 32).astype(jnp.int32)
+            rmark = jnp.zeros((S8,), jnp.int32).at[rpos].set(
+                rpos + 1, mode="drop")
+            rlast = jax.lax.cummax(rmark, axis=0) - 1
+            rank_p = jnp.zeros((S8,), jnp.int32).at[rpos].set(
+                rrank + 1, mode="drop")
+            rankf = jnp.where(rlast >= 0,
+                              rank_p[jnp.maximum(rlast, 0)], 0) - 1
+            # table row gathers: j plane, value plane (int32 each)
+            bsegc = jnp.clip(bseg, 0, tblN - 1)
+            j = tblj[bsegc]                                # (S8, 8) i32
             valid = vseg[:, None] & (rankf >= 0)[:, None] & (j < n)
             if mode_av == "pair":
                 prod = jnp.ones((S8, SEGW), kdt)
             elif mode_av == "first":
                 prod = jnp.broadcast_to(av, (S8, SEGW)).astype(kdt)
             else:
-                bv = _unbits32(rows8, kdt)
+                bv = _unbits32i(tblv[jnp.clip(bsegc, 0,
+                                              tblv.shape[0] - 1)], kdt)
                 prod = bv if mode_av == "second" \
                     else mult.fn(av, bv).astype(kdt)
             if logical:
@@ -230,7 +245,10 @@ def _pass1_fn(sig):
                 monoid.identity_for(np.dtype(kdt_name)), prod.dtype)
             key = jnp.where(valid, (rankf[:, None] << JB) | j,
                             SRD.SENTINEL)
-            if masked:
+            if _os.environ.get("GB_SELL_NOSORT"):     # perf-isolation knob
+                ok = key.reshape(D_BLOCK // 128, 128)
+                ov = prod.reshape(D_BLOCK // 128, 128).astype(kdt)
+            elif masked:
                 tokf = (bseg >= nsegB_real)[:, None]
                 prod = jnp.where(valid & ~tokf, prod, ident)
                 tx = jnp.where(valid, jnp.where(tokf, 1, 2), 0) \
@@ -363,11 +381,13 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
     nnzB = int(Br.indices.shape[0])
 
     # ---- B -> SELL-8 packed table (device) -------------------------------
-    blenB = jnp.diff(Br.indptr).astype(jnp.int64)
-    nsegB = (blenB + (SEGW - 1)) // SEGW
-    segbaseB = jnp.concatenate([jnp.zeros((1,), jnp.int64),
-                                jnp.cumsum(nsegB)])
-    nsegB_tot = int(segbaseB[-1])
+    blenB32 = jnp.diff(Br.indptr).astype(jnp.int32)
+    nsegB = (blenB32 + (SEGW - 1)) // SEGW
+    segbaseB32 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(nsegB)])
+    nsegB_tot = int(segbaseB32[-1])
+    if nsegB_tot >= (1 << 27):
+        return None          # int32 slot domain (and table memory) bound
 
     masked = mask is not None and mask.fmt in (SPARSE, HYPER)
     if masked:
@@ -394,34 +414,40 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
     # so repeat calls share executables — recompiles were the round-2
     # tier's dominant measured cost
     tblN = _bucket(nsegB_tot + nsegM_tot + 1)
-    rowsB = K.expand_rowids(Br.indptr, nnzB, Br.nrows).astype(jnp.int64)
-    destB = (segbaseB[rowsB] * SEGW
-             + jnp.arange(nnzB, dtype=jnp.int64)
-             - Br.indptr[rowsB].astype(jnp.int64))
-    bj = Br.indices.astype(jnp.int64)
+    # two int32 planes (j, value bits) instead of one packed int64: a
+    # 64-bit scatter costs 10x a 32-bit one on v5e, and the pass-1 row
+    # gather reads both planes at the same cost
+    rowsB = K.expand_rowids(Br.indptr, nnzB, Br.nrows).astype(jnp.int32)
+    destB = (segbaseB32[rowsB] * SEGW
+             + jnp.arange(nnzB, dtype=jnp.int32)
+             - Br.indptr[rowsB].astype(jnp.int32))
+    bj = Br.indices.astype(jnp.int32)
+    tblj_flat = jnp.full((tblN * SEGW,), jnp.int32(2**31 - 1))
+    tblj_flat = tblj_flat.at[destB].set(bj)
     if mode_av in ("second", "general"):
-        bvb = _bits32(Br._vals_expanded().astype(kdt_np))
+        bvb = _bits32i(Br._vals_expanded().astype(kdt_np))
+        tblv_flat = jnp.zeros((tblN * SEGW,), jnp.int32).at[destB].set(bvb)
     else:
-        bvb = jnp.zeros((nnzB,), jnp.int64)
-    tbl_flat = jnp.full((tblN * SEGW,), PACKED_SENT, jnp.int64)
-    tbl_flat = tbl_flat.at[destB].set((bj << 32) | bvb)
+        tblv_flat = jnp.zeros((1 * SEGW,), jnp.int32)
     if masked and mi_h.shape[0]:
         mrows = K.expand_rowids(jnp.asarray(mip_h), mi_h.shape[0],
-                                m).astype(jnp.int64)
-        destM = ((nsegB_tot + jnp.asarray(msegbase_h)[mrows]) * SEGW
-                 + jnp.arange(mi_h.shape[0], dtype=jnp.int64)
-                 - jnp.asarray(mip_h)[mrows])
-        tbl_flat = tbl_flat.at[destM].set(
-            jnp.asarray(mi_h.astype(np.int64)) << 32)
-    tbl = tbl_flat.reshape(tblN, SEGW)
-    _sdbg("table built", tbl)
+                                m).astype(jnp.int32)
+        destM = ((jnp.int32(nsegB_tot)
+                  + jnp.asarray(msegbase_h.astype(np.int32))[mrows]) * SEGW
+                 + jnp.arange(mi_h.shape[0], dtype=jnp.int32)
+                 - jnp.asarray(mip_h.astype(np.int32))[mrows])
+        tblj_flat = tblj_flat.at[destM].set(
+            jnp.asarray(mi_h.astype(np.int32)))
+    tblj = tblj_flat.reshape(tblN, SEGW)
+    tblv = tblv_flat.reshape(-1, SEGW)
+    _sdbg("table built", tblj)
 
     # ---- per-entry arrays (device) ----------------------------------------
-    f_e = blenB[Ar.indices]
+    f_e = blenB32[Ar.indices]
     nseg_e = (f_e + (SEGW - 1)) // SEGW
-    cumseg = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+    cumseg = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(nseg_e)])
-    row_segbase = cumseg[Ar.indptr.astype(jnp.int64)]        # (m+1,)
+    row_segbase = cumseg[Ar.indptr.astype(jnp.int32)]        # (m+1,)
     row_nseg = row_segbase[1:] - row_segbase[:-1]            # (m,)
 
     # ---- host layout sweep -------------------------------------------------
@@ -437,15 +463,29 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
     if fb_rows.size:
         row_load_h = row_load_h.copy()
         row_load_h[fb_rows] = 0
+        if masked:
+            # fallback rows run the classic path (which applies the mask
+            # itself); leaving their tokens in would scatter them into a
+            # NEIGHBOR row's segment space (they have no segments here)
+            tok_h = tok_h.copy()
+            tok_h[fb_rows] = 0
     total_segs = int(row_load_h.sum())
     S8 = max(1 << 13, min(1 << 21, _pow2(max(total_segs, 1))))
+    if _os.environ.get("GB_SELL_S8"):          # perf-isolation knob
+        S8 = 1 << int(_os.environ["GB_SELL_S8"])
     E_BLK = S8
     R_BLK = max(min(S8, 1 << 19), 1 << 10)
     _sdbg("row_nseg host", )
     starts_h, rank_h, br0, be0, bt0, bs0 = NAT.spgemm_layout(
         row_load_h, adeg_h, tok_h, TILE // SEGW, S8, E_BLK, R_BLK)
     nblk = br0.shape[0]
-    nblk_pad = _pow2(nblk)
+    # scan length rounds up at pow2/4 granularity: <=25% inert steps
+    # (pow2 rounding wasted up to ~2x), <=4 executables per octave
+    if nblk <= 4:
+        nblk_pad = nblk
+    else:
+        g = _pow2(nblk) // 4
+        nblk_pad = -(-nblk // g) * g
     D_pad_segs = int(starts_h[m])
     D_pad = D_pad_segs * SEGW
     if D_pad >= (1 << 31) or nsegB_tot + nsegM_tot >= (1 << 30):
@@ -467,8 +507,8 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
         br0, be0, bt0, bs0
 
     # ---- device entry arrays, padded by one block budget ------------------
-    a_rows = K.expand_rowids(Ar.indptr, nnzA, m).astype(jnp.int64)
-    starts_d = jnp.asarray(starts_h)                          # (m+1,) i64
+    a_rows = K.expand_rowids(Ar.indptr, nnzA, m).astype(jnp.int32)
+    starts_d = jnp.asarray(starts_h.astype(np.int32))         # (m+1,)
     rank_d = jnp.asarray(rank_h.astype(np.int32))
     ent_runstart = (starts_d[a_rows] + cumseg[:-1]
                     - row_segbase[:-1][a_rows])
@@ -479,33 +519,34 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
     else:
         nseg_live = nseg_e
     EPAD = nnzA_pad + E_BLK
+    FAR32 = jnp.int32(1) << 30      # out of every block's [0, S8) window
     ent = {
-        "runstartseg": _pad_to(ent_runstart, EPAD, FAR),
-        "segstartB": _pad_to(segbaseB[Ar.indices], EPAD, 0),
+        "runstartseg": _pad_to(ent_runstart, EPAD, FAR32),
+        "segstartB": _pad_to(segbaseB32[Ar.indices], EPAD, 0),
         "nseg": _pad_to(nseg_live, EPAD, 0).astype(jnp.int32),
     }
     if mode_av in ("first", "general"):
-        avb = _bits32(Ar._vals_expanded().astype(kdt_np))
-        ent["avbits"] = _pad_to(avb, EPAD, 0)
+        ent["av"] = _pad_to(Ar._vals_expanded().astype(kdt_np), EPAD, 0)
     else:
-        ent["avbits"] = jnp.zeros((1,), jnp.int64)
+        ent["av"] = jnp.zeros((1,), kdt_np)
     TPAD = ntok_pad + R_BLK
     if masked:
         trow = np.flatnonzero(tok_h)
         tokd = {
             "runstartseg": _pad_to(jnp.asarray(
-                starts_h[trow] + row_nseg_h[trow]), TPAD, FAR),
+                (starts_h[trow] + row_nseg_h[trow]).astype(np.int32)),
+                TPAD, FAR32),
             "segstartB": _pad_to(jnp.asarray(
-                nsegB_tot + msegbase_h[trow]), TPAD, 0),
+                (nsegB_tot + msegbase_h[trow]).astype(np.int32)),
+                TPAD, 0),
             "nseg": _pad_to(jnp.asarray(msegs_h[trow]), TPAD,
                             0).astype(jnp.int32),
         }
     else:
-        z = jnp.zeros((1,), jnp.int64)
-        tokd = {"runstartseg": z, "segstartB": z,
-                "nseg": z.astype(jnp.int32)}
+        z = jnp.zeros((1,), jnp.int32)
+        tokd = {"runstartseg": z, "segstartB": z, "nseg": z}
     rows_dev = {
-        "startseg": _pad_i(starts_d, R_BLK + 1, FAR),
+        "startseg": _pad_i(starts_d.astype(jnp.int32), R_BLK + 1, FAR32),
         "rank": _pad_i(rank_d, R_BLK + 1, 0).astype(jnp.int32),
     }
     blocks = {
@@ -521,7 +562,7 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
            masked, bool(desc.mask_complement) if masked else False,
            int(n), sr.add, sr.mult, bool(interpret), D_ALLOC, int(m))
     run = _pass1_fn(sig)
-    OK, OV = run(tbl, ent, tokd, rows_dev, blocks)
+    OK, OV = run(tblj, tblv, ent, tokd, rows_dev, blocks)
     _sdbg("pass1", OK)
 
     tb_rows = jnp.asarray(

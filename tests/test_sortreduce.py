@@ -24,6 +24,7 @@ def _rand_csr(rng, m, n, density, dtype=np.float32):
     return S.astype(dtype)
 
 
+@pytest.mark.slow
 def test_kernel_multi_cap(rng):
     for C in (128, 512):
         R = 9
@@ -51,7 +52,11 @@ def test_kernel_multi_cap(rng):
                                [want[k] for k in sorted(want)], atol=1e-4)
 
 
-@pytest.mark.parametrize("dtype", [np.float32, np.int32, np.bool_])
+@pytest.mark.parametrize("dtype", [
+    np.float32,
+    pytest.param(np.int32, marks=pytest.mark.slow),
+    pytest.param(np.bool_, marks=pytest.mark.slow),
+])
 def test_spgemm_fast_vs_scipy(rng, dtype):
     m = k = n = 60
     A = _rand_csr(rng, m, k, 0.2, dtype)
@@ -69,6 +74,7 @@ def test_spgemm_fast_vs_scipy(rng, dtype):
         assert np.allclose(got, want, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_spgemm_fast_heavy_row_fallback(rng, monkeypatch):
     # shrink the caps so dense rows overflow the top class and take the
     # argsort fallback; mixed classes + fallback must merge in row order
@@ -104,6 +110,7 @@ def test_spgemm_fast_masked_matches_classic(rng):
     assert np.allclose(got, want, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_spgemm_fast_min_plus(rng):
     m = k = n = 40
     A = _rand_csr(rng, m, k, 0.2)
