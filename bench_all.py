@@ -60,16 +60,23 @@ def main():
     plan_path = os.path.join(HERE, ".bench_plan.npz")
     t0 = time.perf_counter()
     plan = None
+    plan_cold = True
     if os.path.exists(plan_path):
         try:
             plan = SPRT.load_plan(plan_path)
             if plan.m != n or plan.g.nnz != nnz \
-                    or plan.lastidx8 is None:
+                    or plan.lastidx8 is None or plan.g.val_lo is None:
                 plan = None
+            else:
+                plan_cold = False
         except Exception:
             plan = None
     if plan is None:
-        plan = SPRT.SpmvRoutePlan(S.indptr, S.indices, S.data, (n, n))
+        # build from f64 values: the plan then carries both the f32 route
+        # tables (hi plane) and the lo plane for the double-single tier,
+        # so one plan serves the fp32 AND fp64 SpMV rows
+        plan = SPRT.SpmvRoutePlan(S.indptr, S.indices,
+                                  S.data.astype(np.float64), (n, n))
         SPRT.save_plan(plan, plan_path)
     plan_s = time.perf_counter() - t0
     plan = SPRT.plan_to_device(plan)
@@ -90,11 +97,38 @@ def main():
     spmv_s = (time.perf_counter() - t0 - SYNC_FLOOR_S) / K
     out["spmv"] = {
         "s": round(spmv_s, 6), "gnnz_per_s": round(nnz / spmv_s / 1e9, 3),
-        "plan_s": round(plan_s, 1),
+        "plan_s": round(plan_s, 1), "plan_cold": plan_cold,
         "vs_ref_this_host": round(REF_1CORE["spmv_s"] / spmv_s, 1),
         "vs_ref_published_20core": round(
             nnz / spmv_s / 1e9 / REF_PUBLISHED_SPMV_GNNZ_S, 2)}
     print(json.dumps({"config": "spmv", **out["spmv"]}), flush=True)
+
+    # ---- SpMV fp64 (double-single route tier; reference headline dtype)
+    @jax.jit
+    def chained64(v, pln):
+        def body(i, acc):
+            y = SPRT.spmv_route_ds(acc.astype(jnp.float32), pln)
+            return (y * (1.0 / deg)).astype(jnp.float32)
+        return jax.lax.fori_loop(0, K, body, v)
+
+    y64 = chained64(x0, plan)
+    _ = float(np.asarray(jnp.sum(y64)))
+    t0 = time.perf_counter()
+    y64 = chained64(x0, plan)
+    _ = float(np.asarray(jnp.sum(y64)))
+    spmv64_s = (time.perf_counter() - t0 - SYNC_FLOOR_S) / K
+    # one-shot fp64 correctness vs scipy (float64 end to end)
+    y1 = np.asarray(SPRT.spmv_route_ds(x0, plan))
+    yref = (S.astype(np.float64) @ np.asarray(x0, np.float64))
+    relerr64 = float(np.abs(y1 - yref).max()
+                     / max(np.abs(yref).max(), 1e-300))
+    out["spmv_fp64"] = {
+        "s": round(spmv64_s, 6),
+        "gnnz_per_s": round(nnz / spmv64_s / 1e9, 3),
+        "relerr": relerr64,
+        "vs_ref_this_host_fp64": round(REF_1CORE["spmv_s"] / spmv64_s, 1)}
+    print(json.dumps({"config": "spmv_fp64", **out["spmv_fp64"]}),
+          flush=True)
 
     # ---- pattern plan for A' (shared by BFS + PageRank) ----------------
     A = gb.Matrix.from_scipy(S)

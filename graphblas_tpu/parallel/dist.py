@@ -235,10 +235,22 @@ def _combine_axis(partial, axis, add):
 # ---------------------------------------------------------------------------
 
 def dist_mxv(A: DistMatrix, x, sr: Semiring = SR.PLUS_TIMES, out_dtype=None,
-             mask=None, accum=None, c=None, mask_complement=False):
+             mask=None, accum=None, c=None, mask_complement=False,
+             overlap=False):
     """y = c<mask> (accum) A (+).(x) x : all_gather x over ICI, local SpMV
     per shard; mask/accum applied IN-SHARD (dense length-n mask and c,
-    sharded like y — the GrB C<M>+=... semantics on the dist tier)."""
+    sharded like y — the GrB C<M>+=... semantics on the dist tier).
+
+    ``overlap=True`` replaces the up-front all_gather with a
+    collective-permute RING (SURVEY.md §7 step 7 'overlap'): each device
+    multiplies the entries whose columns fall in the x block it currently
+    holds while the block rotates one hop per step.  The next block's
+    ppermute is issued BEFORE the step's compute consumes the current one,
+    so XLA's latency-hiding scheduler runs the ICI transfer under the
+    VPU work; same total comm volume as the all_gather, but pipelined.
+    Every entry's column lives in exactly ONE block, so per-entry products
+    are written once (a select, no cross-step monoid combine) and a single
+    segment-reduce finishes the rows — exact for ANY add monoid."""
     zt = np.dtype(out_dtype) if out_dtype else np.asarray(x).dtype
     axis = A.axis
     xs = A.shard_x(x)
@@ -246,15 +258,41 @@ def dist_mxv(A: DistMatrix, x, sr: Semiring = SR.PLUS_TIMES, out_dtype=None,
     has_c = c is not None
     ms = A.shard_x(np.asarray(mask, bool)) if has_mask else xs
     cs = A.shard_x(np.asarray(c, zt)) if has_c else xs
+    ndev, rp = A.ndev, A.rows_per
+    ring = [(i, (i - 1) % ndev) for i in range(ndev)]  # pull from the right
+    use_ring = overlap and not sr.mult.positional and ndev > 1
 
     @functools.partial(
         shard_map, mesh=A.mesh,
         in_specs=(P(axis),) * 7, out_specs=P(axis))
     def step(iptr, idx, vals, nnz, xloc, mloc, cloc):
         d = jax.lax.axis_index(axis)
-        xfull = jax.lax.all_gather(xloc[0], axis, tiled=True)
-        y = _local_spmv(iptr[0], idx[0], vals[0], nnz[0], xfull, sr, zt,
-                        row0=d * A.rows_per)
+        if use_ring:
+            idx0, vals0 = idx[0], vals[0]
+            cap = idx0.shape[0]
+            ident = jnp.asarray(sr.add.identity_for(zt), zt)
+            valid = jnp.arange(cap) < nnz[0]
+
+            def body(k, carry):
+                blk, acc = carry
+                src = jax.lax.rem(d + k.astype(d.dtype),
+                                  jnp.asarray(ndev, d.dtype))
+                nxt = jax.lax.ppermute(blk, axis, ring)  # issued first:
+                off = src * rp                           # overlaps compute
+                inr = valid & (idx0 >= off) & (idx0 < off + rp)
+                xg = blk[jnp.clip(idx0 - off, 0, rp - 1)]
+                prod = sr.mult.fn(vals0, xg).astype(zt)
+                return nxt, jnp.where(inr, prod, acc)
+
+            acc0 = jax.lax.pcast(jnp.full((cap,), ident), (axis,),
+                                 to="varying")
+            _, prod = jax.lax.fori_loop(0, ndev, body, (xloc[0], acc0))
+            rows = K.expand_rowids(iptr[0], cap, rp)
+            y = K.segment_reduce(prod, rows, rp, sr.add)
+        else:
+            xfull = jax.lax.all_gather(xloc[0], axis, tiled=True)
+            y = _local_spmv(iptr[0], idx[0], vals[0], nnz[0], xfull, sr,
+                            zt, row0=d * A.rows_per)
         base = cloc[0].astype(zt) if has_c else jnp.zeros_like(y)
         if accum is not None:
             y = accum.fn(base, y).astype(zt)

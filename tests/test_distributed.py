@@ -362,3 +362,38 @@ def test_dist_mxm_hub_skew(rng):
         got[r0 + rows[:cnt], ix[d, :cnt]] = vl[d, :cnt]
     want = (A @ B).toarray()
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_dist_mxv_overlap_ring(rng, mesh):
+    """Ring-overlap path (ppermute double-buffer) matches the all_gather
+    path and the scipy oracle, for PLUS_TIMES and a MIN add monoid."""
+    S = random_graph(rng, 130)
+    A = gb.Matrix.from_scipy(S)
+    D = par.DistMatrix.from_matrix(A, mesh)
+    x = rng.standard_normal(130)
+    got = np.asarray(par.dist_mxv(D, x, overlap=True))
+    np.testing.assert_allclose(got, S @ x, rtol=1e-10)
+    base = np.asarray(par.dist_mxv(D, x))
+    np.testing.assert_allclose(got, base, rtol=1e-12)
+    # MIN_PLUS: the select-update product accumulation is monoid-free,
+    # so a non-PLUS monoid must come out exact too
+    S2 = random_graph(rng, 60)
+    S2.data[:] = np.abs(S2.data)
+    D2 = par.DistMatrix.from_matrix(gb.Matrix.from_scipy(S2), mesh)
+    x2 = np.abs(rng.standard_normal(60))
+    got2 = np.asarray(par.dist_mxv(D2, x2, sr.MIN_PLUS, overlap=True))
+    want2 = np.asarray(par.dist_mxv(D2, x2, sr.MIN_PLUS))
+    np.testing.assert_allclose(got2, want2, rtol=1e-12)
+
+
+def test_dist_mxv_overlap_mask_accum(rng, mesh):
+    from graphblas_tpu.core import ops as OPS
+    S = random_graph(rng, 96)
+    D = par.DistMatrix.from_matrix(gb.Matrix.from_scipy(S), mesh)
+    x = rng.standard_normal(96)
+    m = rng.integers(0, 2, 96).astype(bool)
+    c = rng.standard_normal(96)
+    got = np.asarray(par.dist_mxv(D, x, mask=m, accum=OPS.PLUS, c=c,
+                                  overlap=True))
+    want = np.asarray(par.dist_mxv(D, x, mask=m, accum=OPS.PLUS, c=c))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
