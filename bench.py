@@ -56,12 +56,15 @@ def _route_tier(S, n):
 
     t0 = time.perf_counter()
     plan = None
+    plan_cold = True
     if os.path.exists(PLAN_CACHE):
         try:
             plan = SPRT.load_plan(PLAN_CACHE)
             if plan.m != n or plan.g.nnz != S.nnz \
                     or plan.lastidx8 is None:   # pre-exact-reduce format
                 plan = None
+            else:
+                plan_cold = False
         except Exception:
             plan = None
     if plan is None:
@@ -105,7 +108,7 @@ def _route_tier(S, n):
         # than dropping all the way to the one-hot tier
         dt, err = _measure(True)
         mode = "legacy"
-    return dt, plan_s, err, mode
+    return dt, plan_s, plan_cold, err, mode
 
 
 def _onehot_tier(S, n):
@@ -193,9 +196,10 @@ def main():
 
     extras = {}
     try:
-        dt, plan_s, err, mode = _route_tier(S, n)
+        dt, plan_s, plan_cold, err, mode = _route_tier(S, n)
         extras = {"kernel": "spmv_route", "plan_build_s": round(plan_s, 1),
-                  "relerr": err, "route_mode": mode}
+                  "plan_cold": plan_cold, "relerr": err,
+                  "route_mode": mode}
     except Exception:
         try:
             dt = _onehot_tier(S, n)
