@@ -106,10 +106,14 @@ def main():
     # ---- SpMV fp64 (double-single route tier; reference headline dtype)
     @jax.jit
     def chained64(v, pln):
+        # the fp64 state vector carries through the whole chain (ADVICE
+        # r3: an f32 carry zeroed the x lo-plane and made the row
+        # timing-only); the per-iteration hi/lo split is an honest part
+        # of fp64 SpMV cost
         def body(i, acc):
-            y = SPRT.spmv_route_ds(acc.astype(jnp.float32), pln)
-            return (y * (1.0 / deg)).astype(jnp.float32)
-        return jax.lax.fori_loop(0, K, body, v)
+            y = SPRT.spmv_route_ds(acc, pln)
+            return y * (1.0 / deg)
+        return jax.lax.fori_loop(0, K, body, v.astype(jnp.float64))
 
     y64 = chained64(x0, plan)
     _ = float(np.asarray(jnp.sum(y64)))
@@ -260,24 +264,37 @@ def main():
     print(json.dumps({"config": "extract_perm", **out["extract_perm"]}),
           flush=True)
 
-    # ---- Triangle count (masked plus-pair SpGEMM, tiled ESC) -----------
+    # ---- Triangle count (masked SpGEMM) --------------------------------
+    # warm like every other row: the reference numbers above were taken
+    # "with the reference's JIT kernel cache warm" (see REF_1CORE note);
+    # ours pay a remote AOT compile per executable (dispatch_cold_s class)
+    # that the persistent XLA cache amortizes across runs.  Cold time is
+    # kept as its own field.
+    t0 = time.perf_counter()
+    ntri = GALG.triangle_count(A)
+    tc_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     ntri = GALG.triangle_count(A)
     tc_s = time.perf_counter() - t0
     out["triangle_count"] = {
-        "s": round(tc_s, 2), "ntri": int(ntri),
+        "s": round(tc_s, 2), "cold_s": round(tc_cold, 2), "ntri": int(ntri),
         "matches_ref": int(ntri) == REF_1CORE["ntri"],
         "vs_ref_this_host": round(REF_1CORE["triangle_count_s"] / tc_s, 2)}
     print(json.dumps({"config": "triangle_count",
                       **out["triangle_count"]}), flush=True)
 
-    # ---- SpGEMM C = S*S (tiled ESC, peak memory O(F_block)) ------------
+    # ---- SpGEMM C = S*S (SELL engine) ----------------------------------
+    t0 = time.perf_counter()
+    C = gb.mxm(A, A, SR.PLUS_TIMES)
+    cnnz = int(C.nvals)
+    gem_cold = time.perf_counter() - t0
+    del C
     t0 = time.perf_counter()
     C = gb.mxm(A, A, SR.PLUS_TIMES)
     cnnz = int(C.nvals)
     gem_s = time.perf_counter() - t0
     out["spgemm"] = {
-        "s": round(gem_s, 2), "cnnz": cnnz,
+        "s": round(gem_s, 2), "cold_s": round(gem_cold, 2), "cnnz": cnnz,
         "matches_ref_nnz": cnnz == REF_1CORE["spgemm_cnnz"],
         "vs_ref_this_host": round(REF_1CORE["spgemm_s"] / gem_s, 2)}
     print(json.dumps({"config": "spgemm", **out["spgemm"]}), flush=True)

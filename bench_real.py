@@ -126,7 +126,9 @@ def main():
     t0 = time.perf_counter()
     levels = GALG.bfs_levels_fused(At, src)
     _ = int(np.asarray(levels).max())
-    bfs_s = time.perf_counter() - t0 - SYNC_FLOOR_S
+    # clamp: an op faster than the sync floor must not go negative
+    # (ADVICE r3); the floor was calibrated on bench_all's setup
+    bfs_s = max(time.perf_counter() - t0 - SYNC_FLOOR_S, 1e-6)
     out["bfs"] = {"s": round(bfs_s, 4), "levels": nlv,
                   "plan_s": round(tplan_s, 1),
                   "gteps": round(nnz / bfs_s / 1e9, 3)}
@@ -151,7 +153,7 @@ def main():
     t0 = time.perf_counter()
     ys = gb.vxm(xs, A, SR.PLUS_TIMES)
     _ = float(np.asarray(jnp.sum(ys.values)))
-    vxm_s = time.perf_counter() - t0 - SYNC_FLOOR_S
+    vxm_s = max(time.perf_counter() - t0 - SYNC_FLOOR_S, 1e-6)
     out["spmspv"] = {"s": round(vxm_s, 4)}
     print(json.dumps({"config": "spmspv", **out["spmspv"]}), flush=True)
 

@@ -250,7 +250,14 @@ def dist_mxv(A: DistMatrix, x, sr: Semiring = SR.PLUS_TIMES, out_dtype=None,
     VPU work; same total comm volume as the all_gather, but pipelined.
     Every entry's column lives in exactly ONE block, so per-entry products
     are written once (a select, no cross-step monoid combine) and a single
-    segment-reduce finishes the rows — exact for ANY add monoid."""
+    segment-reduce finishes the rows — exact for ANY add monoid.
+
+    Caveats (ADVICE r3): each ring step gathers and multiplies ALL cap
+    entries and selects only the in-range results, so total VPU work is
+    ndev x the all_gather path's — at high device counts overlap=True can
+    lose to the baseline unless the shards are ICI-latency-bound (the
+    regime it exists for).  Positional semirings silently take the
+    all_gather path (results identical; benchmark accordingly)."""
     zt = np.dtype(out_dtype) if out_dtype else np.asarray(x).dtype
     axis = A.axis
     xs = A.shard_x(x)
