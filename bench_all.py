@@ -204,6 +204,10 @@ def main():
         "vs_ref_this_host": _vs("spmspv_s", vxm_s)}
     print(json.dumps({"config": "spmspv", **out["spmspv"]}), flush=True)
 
+    # narrow SpMM rides the SpMV route plan (Matrix.optimize analog: the
+    # plan is this matrix's storage-format acceleration, reference
+    # GB_hyper_hash_build); registered against A's own arrays
+    SPRT.register_plan(A.indptr, A.indices, A.values, (n, n), plan)
     ii = np.arange(n)[:, None]
     Fm = gb.Matrix.from_dense(
         (1e-3 * ((ii + 7 * np.arange(4)[None, :]) % 97)).astype(np.float32))

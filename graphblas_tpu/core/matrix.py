@@ -65,7 +65,8 @@ class Matrix:
     __slots__ = ("shape", "fmt", "orient", "iso", "dtype",
                  "indptr", "h", "indices", "values", "bitmap",
                  "_pending", "_nvals_cache", "name",
-                 "sparsity_control", "hyper_switch", "bitmap_switch")
+                 "sparsity_control", "hyper_switch", "bitmap_switch",
+                 "_mask_applied")
 
     def __init__(self, shape, dtype, fmt=SPARSE, orient=None, iso=False,
                  indptr=None, h=None, indices=None, values=None, bitmap=None,

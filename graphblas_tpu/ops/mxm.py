@@ -86,6 +86,19 @@ def _ident_relabel(i, k, j):
 # public entry points
 # ---------------------------------------------------------------------------
 
+def _mask_done(Tm, mask, C, accum, desc):
+    """True when the kernel already applied the write mask exactly and the
+    writeback can transplant (reference: dot3's C pattern IS the mask
+    pattern, so GB_mxm transplants — Source/GB_mxm.c:180-199).  Requires
+    no prior C content and no accum: only then is the masked writeback a
+    pure pattern filter the kernel has already performed."""
+    if mask is None or not getattr(Tm, "_mask_applied", False):
+        return False
+    if accum is not None:
+        return False
+    return C is None or (C.fmt in (SPARSE, HYPER) and C.nvals == 0)
+
+
 def mxm(A: Matrix, B: Matrix, sr: Semiring, *, C=None, mask=None,
         accum=None, desc: Descriptor = NULL, out_dtype=None):
     A = maybe_transpose(A, desc.transpose0)
@@ -96,6 +109,10 @@ def mxm(A: Matrix, B: Matrix, sr: Semiring, *, C=None, mask=None,
         raise E.DimensionMismatch("mxm: C shape")
     zt = _ztype(sr, A, B, None)
     Tm = _mxm_dispatch(A, B, sr, zt, mask, desc, accum)
+    if _mask_done(Tm, mask, C, accum, desc):
+        CFG.burble("mxm: mask applied in-kernel, transplant writeback")
+        return writeback(C, None, accum, Tm,
+                         desc.with_(mask_complement=False), out_dtype)
     return writeback(C, mask, accum, Tm, desc, out_dtype)
 
 
@@ -108,6 +125,11 @@ def mxv(A: Matrix, u: Matrix, sr: Semiring, *, C=None, mask=None,
     zt = _ztype(sr, A, u, None)
     Tm = _mxm_dispatch(A, u, sr, zt, mask, desc, accum)
     d2 = desc.with_(transpose0=False)
+    if _mask_done(Tm, mask, C, accum, d2):
+        CFG.burble("mxv: mask applied in-kernel, transplant writeback")
+        return writeback(C, None, accum, Tm,
+                         d2.with_(mask_complement=False), out_dtype,
+                         out_class=Vector)
     return writeback(C, mask, accum, Tm, d2, out_dtype, out_class=Vector)
 
 
@@ -154,6 +176,11 @@ def vxm(u: Matrix, A: Matrix, sr: Semiring, *, C=None, mask=None,
         sr2 = Semiring(sr.add, sr.mult.flipped(), name=sr.name + "_flip")
         relabel = _ident_relabel
     Tm = _mxm_dispatch(At, u, sr2, zt, mask, desc, accum, relabel)
+    if _mask_done(Tm, mask, C, accum, d2):
+        CFG.burble("vxm: mask applied in-kernel, transplant writeback")
+        return writeback(C, None, accum, Tm,
+                         d2.with_(mask_complement=False), out_dtype,
+                         out_class=Vector)
     return writeback(C, mask, accum, Tm, d2, out_dtype, out_class=Vector)
 
 
@@ -477,16 +504,35 @@ def _spmm(A: Matrix, B: Matrix, sr, zt, relabel=_ident_relabel) -> Matrix:
     if (B.ncols <= 8 and B.fmt == FULL and sr.add.op.name == "GrB_PLUS"
             and sr.mult.name == "GrB_TIMES" and not sr.mult.positional
             and zt.np_dtype == np.float32):
-        CFG.burble("spmm: spmv fast path (%d col)", B.ncols)
         vals = cast(Ar._vals_expanded(), zt)
         bv = cast(B._vals_expanded(), zt)
-        cols = [spmv_arrays(Ar.indptr, Ar.indices, vals, bv[:, k], A.nrows)
-                for k in range(B.ncols)]
-        y = jnp.stack(cols, axis=1)
+        m = A.nrows
+        # tier resolution happens ONCE out here; the whole multi-column
+        # SpMM then runs as a SINGLE jitted dispatch — per-call dispatch
+        # through the remote-TPU tunnel costs ~25 ms, so n x 4 as four
+        # eager SpMV calls paid more in dispatch than in math
+        rp = None
+        if CFG.GLOBAL.pallas_enabled:
+            try:
+                from ..kernels import spmv_route
+                rp = spmv_route.plan_for(Ar.indptr, Ar.indices, vals,
+                                         (m, B.nrows), build=False)
+                if rp is not None:
+                    rp = spmv_route.plan_to_device(rp)
+            except Exception:  # pragma: no cover - fall through
+                rp = None
+        if rp is not None:
+            CFG.burble("spmm: routed spmv x%d (one dispatch)", B.ncols)
+            y = _narrow_spmm_route(B.ncols)(bv, rp)
+        else:
+            CFG.burble("spmm: spmv fast path (%d col)", B.ncols)
+            cols = [spmv_arrays(Ar.indptr, Ar.indices, vals, bv[:, k], m)
+                    for k in range(B.ncols)]
+            y = jnp.stack(cols, axis=1)
         # spec pattern: rows of A with no entries are absent in the output
         pres = jnp.broadcast_to((jnp.diff(Ar.indptr) > 0)[:, None],
-                                (A.nrows, B.ncols))
-        return Matrix((A.nrows, B.ncols), zt, BITMAP, ROW, values=y,
+                                (m, B.ncols))
+        return Matrix((m, B.ncols), zt, BITMAP, ROW, values=y,
                       bitmap=pres)
     m, k = A.shape
     n = B.ncols
@@ -518,6 +564,25 @@ def _spmm(A: Matrix, B: Matrix, sr, zt, relabel=_ident_relabel) -> Matrix:
                                indices_are_sorted=True) > 0
     out = jnp.where(pres, out, jnp.zeros((), zt.np_dtype))
     return Matrix((m, n), zt, BITMAP, ROW, values=out, bitmap=pres)
+
+
+_narrow_spmm_jits: dict = {}
+
+
+def _narrow_spmm_route(ncols: int):
+    """One jitted executable running ``ncols`` routed SpMVs (narrow SpMM
+    C = A*F; reference workload dobench C=S*F, Source/GB_AxB_saxpy4.c)."""
+    fn = _narrow_spmm_jits.get(ncols)
+    if fn is None:
+        from ..kernels import spmv_route as SPRT
+
+        def run(bv, pln):
+            cols = [SPRT.spmv_route(bv[:, k], pln) for k in range(ncols)]
+            return jnp.stack(cols, axis=1)
+
+        fn = jax.jit(run)
+        _narrow_spmm_jits[ncols] = fn
+    return fn
 
 
 def spmv_arrays(indptr, indices, values, x, m: int):
@@ -588,6 +653,19 @@ SPGEMM_FLOP_BLOCK = 1 << 24   # peak expanded products per row block
 
 def _spgemm_esc(A, B, sr, zt, mask, desc, accum,
                 relabel=_ident_relabel) -> Matrix:
+    """Wrapper marking results of sparse/hyper-masked runs: every internal
+    path (SELL in-sort tokens, fast-tier tokens, classic prefilter)
+    applies such masks exactly, so mxm/mxv/vxm can transplant instead of
+    re-masking in writeback (the reference's dot3 transplant,
+    Source/GB_mxm.c:180-199)."""
+    out = _spgemm_esc_impl(A, B, sr, zt, mask, desc, accum, relabel)
+    if mask is not None and mask.fmt in (SPARSE, HYPER):
+        out._mask_applied = True
+    return out
+
+
+def _spgemm_esc_impl(A, B, sr, zt, mask, desc, accum,
+                     relabel=_ident_relabel) -> Matrix:
     """Expand-sort-compress SpGEMM, tiled by row blocks.
 
     Phase 0 (flopcount; reference: GB_AxB_saxpy3_flopcount.c): exact product

@@ -391,18 +391,25 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
 
     masked = mask is not None and mask.fmt in (SPARSE, HYPER)
     if masked:
+        # mask prep stays on DEVICE (round-4: the old np.asarray of the
+        # mask's indices/values pulled ~12 B/nnz(M) through the tunnel
+        # every call); the host only sees the m-sized per-row degree for
+        # the layout sweep.  Valued masks never compact: zero-valued
+        # entries keep no slot (their within-row rank skips them) and
+        # their scatter destination drops.
         Mr = mask.to_format(SPARSE, ROW)
-        mip_h = np.asarray(Mr.indptr).astype(np.int64)
-        mi_h = np.asarray(Mr.indices)
-        if not desc.mask_structure:
-            mvals = np.asarray(Mr._vals_expanded())
-            keepm = mvals != 0
-            if not keepm.all():
-                kcum = np.zeros(mi_h.shape[0] + 1, np.int64)
-                np.cumsum(keepm, out=kcum[1:])
-                mip_h = kcum[mip_h]
-                mi_h = mi_h[keepm]
-        mdeg_h = np.diff(mip_h)
+        nnzM = int(Mr.indices.shape[0])
+        mip_d = Mr.indptr.astype(jnp.int32)
+        if not desc.mask_structure and nnzM:
+            mkeep = (Mr._vals_expanded() != 0)
+            mkcum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                     jnp.cumsum(mkeep.astype(jnp.int32))])
+            mdeg_d = mkcum[mip_d[1:]] - mkcum[mip_d[:-1]]
+        else:
+            mkeep = None
+            mkcum = None
+            mdeg_d = jnp.diff(mip_d)
+        mdeg_h = np.asarray(mdeg_d).astype(np.int64)
         msegs_h = (mdeg_h + (SEGW - 1)) // SEGW
         msegbase_h = np.zeros(m + 1, np.int64)
         np.cumsum(msegs_h, out=msegbase_h[1:])
@@ -429,15 +436,18 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
         tblv_flat = jnp.zeros((tblN * SEGW,), jnp.int32).at[destB].set(bvb)
     else:
         tblv_flat = jnp.zeros((1 * SEGW,), jnp.int32)
-    if masked and mi_h.shape[0]:
-        mrows = K.expand_rowids(jnp.asarray(mip_h), mi_h.shape[0],
-                                m).astype(jnp.int32)
-        destM = ((jnp.int32(nsegB_tot)
-                  + jnp.asarray(msegbase_h.astype(np.int32))[mrows]) * SEGW
-                 + jnp.arange(mi_h.shape[0], dtype=jnp.int32)
-                 - jnp.asarray(mip_h.astype(np.int32))[mrows])
+    if masked and nnzM:
+        mrows = K.expand_rowids(mip_d, nnzM, m).astype(jnp.int32)
+        msegbase_d = jnp.asarray(msegbase_h.astype(np.int32))
+        if mkeep is None:
+            within = jnp.arange(nnzM, dtype=jnp.int32) - mip_d[mrows]
+        else:
+            within = mkcum[1:] - 1 - mkcum[mip_d[mrows]]
+        destM = ((jnp.int32(nsegB_tot) + msegbase_d[mrows]) * SEGW + within)
+        if mkeep is not None:
+            destM = jnp.where(mkeep, destM, tblN * SEGW)   # dropped
         tblj_flat = tblj_flat.at[destM].set(
-            jnp.asarray(mi_h.astype(np.int32)))
+            Mr.indices.astype(jnp.int32), mode="drop")
     tblj = tblj_flat.reshape(tblN, SEGW)
     tblv = tblv_flat.reshape(-1, SEGW)
     _sdbg("table built", tblj)
@@ -494,8 +504,13 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
                nblk, D_pad, F)
 
     # allocation holds the padded slot space plus a guard block that
-    # inert (padding) scan steps write into
-    D_ALLOC = _bucket(D_pad + S8 * SEGW)
+    # inert (padding) scan steps write into.  Derived EXACTLY from the
+    # scan geometry (nblk_pad + 1 blocks): with an independent bucket the
+    # pass-1 signature gained a free dimension and every (D_ALLOC, nblk)
+    # pair cost a fresh ~minutes-long remote AOT compile (round-4: cold
+    # TC measured 431 s vs 3.9 s warm — compiles, not math).  Overrun
+    # slots only ever receive SENTINEL keys, so block overhang is inert.
+    D_ALLOC = (nblk_pad + 1) * S8 * SEGW
     nnzA_pad = _bucket(nnzA)
     ntok = int(tok_h.sum()) if masked else 0
     ntok_pad = _bucket(max(ntok, 1))
@@ -615,11 +630,14 @@ def _pow2(x):
 
 
 def _bucket(x):
-    """Round up to a multiple of pow2(x)/8: <= 12.5% padding, at most 8
-    executable variants per octave."""
+    """Round up to a multiple of pow2(x)/2: <= 50% padding, at most 2
+    executable variants per octave.  Round 4 coarsened this from /8:
+    every distinct input shape recompiles pass 1, and one remote AOT
+    compile costs minutes on this host while the padding costs ~ms warm
+    (cold TC 431 s vs warm 3.9 s at 2^18 was all compiles)."""
     if x <= 8:
         return max(int(x), 1)
-    g = _pow2(x) // 8
+    g = _pow2(x) // 2
     return ((int(x) + g - 1) // g) * g
 
 
