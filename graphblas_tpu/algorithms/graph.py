@@ -302,12 +302,20 @@ def pagerank_fused(A: Matrix, damping=0.85, tol=1e-6, max_iter=100,
 
 def triangle_count(A: Matrix) -> int:
     """Sandia-style: ntri = sum(C) where C<L> = L*L' with plus_pair and L =
-    tril(A) (BASELINE.json config 3; reference idiom: masked dot3 SpGEMM)."""
+    tril(A) (BASELINE.json config 3; reference idiom: masked dot3 SpGEMM).
+
+    Rides the fused mxm+reduce kernel when available (the SELL scan
+    reduces in-carry, no C materialization — the LAGraph dot3+reduce
+    pipeline collapsed into one executable); falls back to the public
+    mxm + reduce_scalar pair otherwise."""
     import graphblas_tpu as gb
+    from ..ops.mxm import mxm_reduce_scalar
     L = gb.select(A, gb.operators.TRIL, -1)
-    C = gb.mxm(L, L, SR.PLUS_PAIR, mask=L,
-               desc=Descriptor(mask_structure=True, transpose1=True),
-               out_dtype=T.INT64)
+    d = Descriptor(mask_structure=True, transpose1=True)
+    acc = mxm_reduce_scalar(L, L, SR.PLUS_PAIR, mask=L, desc=d)
+    if acc is not None:
+        return int(acc)
+    C = gb.mxm(L, L, SR.PLUS_PAIR, mask=L, desc=d, out_dtype=T.INT64)
     return int(gb.reduce_scalar(C, MON.PLUS, out_dtype=T.INT64))
 
 

@@ -71,13 +71,28 @@ def extract_pattern(A: Matrix, Iv: np.ndarray, Jv: np.ndarray) -> Matrix:
     nr = rm[rows]
     nc = cm[cols]
     keep = (nr >= 0) & (nc >= 0)
-    cnt, (kr, kc, kv) = K.compact(keep, nr, nc, S._vals_expanded())
+    vals = S._vals_expanded()
+    nnz = int(S.indices.shape[0])
+    cnt = int(jnp.sum(keep))
+    if cnt == nnz:
+        # permutation / GrB_ALL extract keeps everything: skip the three
+        # compaction gathers (random gathers are the costly primitive)
+        kr, kc, kv = nr, nc, vals
+    else:
+        src = K._compact_gather(keep, cnt) if cnt else None
+        if cnt == 0:
+            kr = kc = jnp.zeros(0, nr.dtype)
+            kv = vals[:0]
+        else:
+            kr, kc, kv = nr[src], nc[src], vals[src]
     if S.orient == ROW:
         vec, idx, nvec, veclen = kr, kc, ni, nj
     else:
         vec, idx, nvec, veclen = kc, kr, nj, ni
-    order, skeys = K.sort_coo(vec, idx, veclen)
+    # values ride the sort as a fused payload plane (no post-sort gather)
+    keys = K.make_key(vec, idx, veclen)
+    skeys, svals = K.sort_with_payload(keys, kv)
     svec, sidx = K.key_split(skeys, veclen)
     indptr = K.indptr_from_sorted(svec, nvec, INDEX)
     return Matrix((ni, nj), A.dtype, SPARSE, S.orient, indptr=indptr,
-                  indices=sidx, values=kv[order])
+                  indices=sidx, values=svals)

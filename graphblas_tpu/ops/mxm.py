@@ -664,8 +664,35 @@ def _spgemm_esc(A, B, sr, zt, mask, desc, accum,
     return out
 
 
+def mxm_reduce_scalar(A, B, sr: Semiring, *, mask=None,
+                      desc: Descriptor = NULL):
+    """Fused ``reduce(C<M> = A (+).(x) B)`` under a PLUS monoid: the SELL
+    engine reduces in-scan without materializing C (reference analog:
+    LAGraph triangle count = dot3 mxm + GrB_reduce; Source/GB_AxB_dot3.c
+    + GB_reduce_to_scalar.c).  Returns an int64 device scalar, or None
+    when the fused path is unavailable (caller runs mxm + reduce)."""
+    A2 = maybe_transpose(A, desc.transpose0)
+    B2 = maybe_transpose(B, desc.transpose1)
+    if A2.ncols != B2.nrows:
+        raise E.DimensionMismatch(f"mxm: {A2.shape} x {B2.shape}")
+    zt = _ztype(sr, A2, B2, None)
+    int_exact = (np.dtype(zt.np_dtype).kind in "iu"
+                 or sr.mult.name == "GrB_ONEB")   # PAIR: run sums are
+    #                                 exact small counts in any dtype
+    if (sr.add.op.name != "GrB_PLUS" or zt.is_bool or zt.is_complex
+            or getattr(zt, "shape", None) or _dense(A2) or _dense(B2)
+            or not int_exact):
+        return None
+    d2 = desc.with_(transpose0=False, transpose1=False)
+    out = _spgemm_esc_impl(A2, B2, sr, zt, mask, d2, None,
+                           reduce_scalar=True)
+    if out is None or isinstance(out, Matrix):
+        return None
+    return out
+
+
 def _spgemm_esc_impl(A, B, sr, zt, mask, desc, accum,
-                     relabel=_ident_relabel) -> Matrix:
+                     relabel=_ident_relabel, reduce_scalar=False) -> Matrix:
     """Expand-sort-compress SpGEMM, tiled by row blocks.
 
     Phase 0 (flopcount; reference: GB_AxB_saxpy3_flopcount.c): exact product
@@ -739,9 +766,12 @@ def _spgemm_esc_impl(A, B, sr, zt, mask, desc, accum,
             return counts_fb, uvec.astype(jnp.int64), uidx, cv
 
         Tsell = SGS.spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask,
-                                desc, interp, classic_rows)
+                                desc, interp, classic_rows,
+                                reduce_scalar=reduce_scalar)
         if Tsell is not None:
             return Tsell
+    if reduce_scalar:
+        return None          # no fused path; caller runs mxm + reduce
     if F <= SPGEMM_FLOP_BLOCK and not fast:
         out = _spgemm_block(Ar, Br, a_rows, cumf, 0, F, sr, zt, m, n,
                             mask, desc, relabel)

@@ -152,12 +152,19 @@ _pass1_cache = {}
 
 
 def _pass1_fn(sig):
-    """One jitted scan-over-blocks executable per problem signature."""
+    """One jitted scan-over-blocks executable per problem signature.
+
+    With ``reduce_scalar`` the scan carries ONE int64 accumulator instead
+    of the (OK, OV) output planes: each block's kept run totals reduce
+    under PLUS immediately after the in-tile sort (the fused
+    mxm+reduce_scalar of triangle counting — reference: LAGraph TC runs
+    dot3 then GrB_reduce; here the reduce costs zero extra HBM traffic)."""
     fn = _pass1_cache.get(sig)
     if fn is not None:
         return fn
     (S8, E_BLK, R_BLK, nblk, kdt_name, mode_av, logical, masked,
-     mask_comp, n, monoid, mult, interpret, D_ALLOC, m) = sig
+     mask_comp, n, monoid, mult, interpret, D_ALLOC, m,
+     reduce_scalar) = sig
     kdt = jnp.dtype(kdt_name)
     D_BLOCK = S8 * SEGW
     need_av = mode_av in ("first", "general")
@@ -166,8 +173,12 @@ def _pass1_fn(sig):
         tblN = tblj.shape[0]
 
         def body(carry, xs):
-            OK, OV = carry
-            e0, t0, seg0, r0, nsegB_real = xs
+            if reduce_scalar:
+                ACC = carry
+                OK = OV = None
+            else:
+                OK, OV = carry
+            e0, t0, seg0, r0, nsegB_real, own = xs
 
             def sl(a, start, size):
                 return jax.lax.dynamic_slice(a, (start,), (size,))
@@ -265,6 +276,17 @@ def _pass1_fn(sig):
                     key.reshape(D_BLOCK // 128, 128),
                     prod.reshape(D_BLOCK // 128, 128),
                     TILE, monoid, logical=logical, interpret=interpret)
+            if reduce_scalar:
+                # blocks over-read entries of LATER rows into their window
+                # overhang (the materializing path resolves this by the
+                # next block's overwrite); only slots the block OWNS
+                # (before the next block's seg start) may contribute
+                slot_i = jax.lax.broadcasted_iota(
+                    jnp.int32, ok.shape, 0) * 128 + \
+                    jax.lax.broadcasted_iota(jnp.int32, ok.shape, 1)
+                kept = (ok != SRD.SENTINEL) & (slot_i < own * SEGW)
+                part = jnp.sum(jnp.where(kept, ov, 0).astype(jnp.int64))
+                return ACC + part, 0
             ok = ok.reshape(-1)
             ov = ov.reshape(-1)
             OK = jax.lax.dynamic_update_slice(
@@ -273,10 +295,14 @@ def _pass1_fn(sig):
                 OV, ov, ((seg0 * SEGW).astype(jnp.int32),))
             return (OK, OV), 0
 
+        xs = (blocks["e0"], blocks["t0"], blocks["seg0"],
+              blocks["r0"], blocks["nsegB_real"], blocks["own"])
+        if reduce_scalar:
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.int64), xs, length=nblk)
+            return acc
         OK = jnp.full((D_ALLOC,), SRD.SENTINEL, jnp.int32)
         OV = jnp.zeros((D_ALLOC,), kdt)
-        xs = (blocks["e0"], blocks["t0"], blocks["seg0"],
-              blocks["r0"], blocks["nsegB_real"])
         (OK, OV), _ = jax.lax.scan(
             body, (OK, OV), xs, length=nblk)
         return OK, OV
@@ -363,11 +389,17 @@ def _pass2(OK, OV, p_lo, live, indptr32, nnz_arr):
 # ---------------------------------------------------------------------------
 
 def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
-                classic_rows):
+                classic_rows, reduce_scalar=False):
     """T = A*B under ``sr`` with optional in-sort mask filter.
 
     Ar/Br: CSR ROW matrices; ip_h: host copy of A.indptr;
     classic_rows(rows) -> (counts, uvec, uidx, cv) for over-cap rows.
+
+    ``reduce_scalar``: fused mxm+reduce under a PLUS monoid — returns an
+    int64 device scalar (sum of all kept outputs) instead of a Matrix;
+    the scan never materializes the output planes (triangle counting's
+    hot path: LAGraph runs dot3 then GrB_reduce, here the reduce is
+    free).  Caller guarantees the add monoid is PLUS over an int class.
     """
     _dbg_t[0] = None
     _sdbg("driver start")
@@ -564,19 +596,31 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
         "startseg": _pad_i(starts_d.astype(jnp.int32), R_BLK + 1, FAR32),
         "rank": _pad_i(rank_d, R_BLK + 1, 0).astype(jnp.int32),
     }
+    own_p = np.zeros(nblk_pad, np.int64)
+    if nblk:
+        own_p[:nblk] = np.diff(bs0, append=D_pad_segs)
     blocks = {
         "e0": jnp.asarray(be0_p.astype(np.int32)),
         "t0": jnp.asarray(bt0_p.astype(np.int32)),
         "seg0": jnp.asarray(bs0_p.astype(np.int32)),
         "r0": jnp.asarray(br0_p.astype(np.int32)),
         "nsegB_real": jnp.full((nblk_pad,), nsegB_tot, jnp.int32),
+        "own": jnp.asarray(own_p.astype(np.int32)),
     }
 
     _sdbg("entry arrays", ent["runstartseg"])
     sig = (S8, E_BLK, R_BLK, nblk_pad, kdt_name, mode_av, logical,
            masked, bool(desc.mask_complement) if masked else False,
-           int(n), sr.add, sr.mult, bool(interpret), D_ALLOC, int(m))
+           int(n), sr.add, sr.mult, bool(interpret), D_ALLOC, int(m),
+           bool(reduce_scalar))
     run = _pass1_fn(sig)
+    if reduce_scalar:
+        acc = run(tblj, tblv, ent, tokd, rows_dev, blocks)
+        _sdbg("pass1 (fused reduce)", acc)
+        if fb_rows.size:
+            _, _, _, fb_cv = classic_rows(fb_rows)
+            acc = acc + jnp.sum(fb_cv.astype(jnp.int64))
+        return acc
     OK, OV = run(tblj, tblv, ent, tokd, rows_dev, blocks)
     _sdbg("pass1", OK)
 
