@@ -19,10 +19,13 @@ def main():
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
 
-    # sync latency: tiny scalar roundtrip
-    one = jnp.ones(())
-    lat = t(lambda: float(np.asarray(one)), reps=20)
-    print(f"sync latency: {lat*1e3:.1f} ms", flush=True)
+    # sync latency: tiny computed-scalar roundtrip (a fresh computation
+    # each rep; a constant array may be served from a host-side cache)
+    base = jnp.ones((128,))
+    add = jax.jit(lambda x, s: jnp.sum(x) * s)
+    add(base, 1.0)
+    lat = t(lambda: float(np.asarray(add(base, np.random.rand()))), reps=20)
+    print(f"sync latency (computed): {lat*1e3:.1f} ms", flush=True)
 
     # H2D bandwidth
     for mb in (8, 64, 256):
@@ -30,38 +33,44 @@ def main():
         dt = t(lambda: jax.device_put(x).block_until_ready(), reps=3)
         print(f"H2D {mb} MB: {dt*1e3:.0f} ms = {mb/dt:.0f} MB/s", flush=True)
 
-    # D2H bandwidth
-    for mb in (8, 64, 256):
-        xd = jnp.zeros((mb << 18,), jnp.float32)
-        xd.block_until_ready()
-        dt = t(lambda: np.asarray(xd), reps=3)
+    # D2H bandwidth (freshly computed arrays — constants may be cached)
+    mk = jax.jit(lambda s: jnp.full((1 << 21,), s, jnp.float32))
+    for mb in (8, 64):
+        f = jax.jit(lambda s: jnp.full((mb << 18,), s, jnp.float32) * s)
+        np.asarray(f(1.0))
+        dt = t(lambda: np.asarray(f(np.random.rand())), reps=3)
         print(f"D2H {mb} MB: {dt*1e3:.0f} ms = {mb/dt:.0f} MB/s", flush=True)
 
-    # device primitive rates at 2^25 elements
+    # device primitive rates at 2^25 elements (int32-safe arithmetic)
     N = 1 << 25
-    k = jnp.arange(N, dtype=jnp.int64)
     v = jnp.ones((N,), jnp.float32)
-    key2 = (k * 2654435761) % (1 << 40)
+    key2 = ((jnp.arange(N, dtype=jnp.int32) * jnp.int32(40503))
+            % jnp.int32(1 << 30)).astype(jnp.int64)
 
-    srt = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=1))
-    r = srt(key2, v); jax.block_until_ready(r)
-    dt = t(lambda: jax.block_until_ready(srt(key2, v)), reps=3)
+    def dsync(x):
+        # block_until_ready is NOT a real sync under the tunnel; fetch one
+        # element to force the producer chain
+        np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+    srt = jax.jit(lambda a, b, s: jax.lax.sort((a + s, b), num_keys=1))
+    dsync(srt(key2, v, 0))
+    dt = t(lambda: dsync(srt(key2, v, np.random.randint(100))), reps=3)
     print(f"lax.sort 2^25 i64+f32 payload: {dt*1e3:.0f} ms = {N/dt/1e6:.0f} Me/s", flush=True)
 
-    cs = jax.jit(lambda a: jnp.cumsum(a))
-    r = cs(v); r.block_until_ready()
-    dt = t(lambda: cs(v).block_until_ready(), reps=3)
+    cs = jax.jit(lambda a, s: jnp.cumsum(a * s))
+    dsync(cs(v, 1.0))
+    dt = t(lambda: dsync(cs(v, np.random.rand())), reps=3)
     print(f"cumsum 2^25 f32: {dt*1e3:.0f} ms = {N/dt/1e6:.0f} Me/s", flush=True)
 
-    idx32 = (jnp.arange(N, dtype=jnp.int32) * 40503) % N
-    g = jax.jit(lambda a, i: a[i])
-    r = g(v, idx32); r.block_until_ready()
-    dt = t(lambda: g(v, idx32).block_until_ready(), reps=3)
+    idx32 = (jnp.arange(N, dtype=jnp.int32) * jnp.int32(40503)) % N
+    g = jax.jit(lambda a, i, s: a[i] * s)
+    dsync(g(v, idx32, 1.0))
+    dt = t(lambda: dsync(g(v, idx32, np.random.rand())), reps=3)
     print(f"random gather 2^25: {dt*1e3:.0f} ms = {N/dt/1e6:.0f} Me/s", flush=True)
 
-    sc = jax.jit(lambda a, i: jnp.zeros((N,), jnp.float32).at[i].add(a))
-    r = sc(v, idx32); r.block_until_ready()
-    dt = t(lambda: jax.block_until_ready(sc(v, idx32)), reps=3)
+    sc = jax.jit(lambda a, i, s: jnp.zeros((N,), jnp.float32).at[i].add(a * s))
+    dsync(sc(v, idx32, 1.0))
+    dt = t(lambda: dsync(sc(v, idx32, np.random.rand())), reps=3)
     print(f"random scatter-add 2^25: {dt*1e3:.0f} ms = {N/dt/1e6:.0f} Me/s", flush=True)
 
 

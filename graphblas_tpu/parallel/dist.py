@@ -415,17 +415,24 @@ def dist_bfs_levels(A: DistMatrix, source: int, frontier_cap: int = None):
             def sparse_exchange(_):
                 ids = jnp.sort(jnp.where(uniq, cand, n_pad))[:fcap]
                 gathered = jax.lax.all_gather(ids, axis)   # [ndev, fcap]
-                return jnp.zeros((n_pad,), bool).at[
-                    gathered.reshape(-1)].max(True, mode="drop")
+                # scatter only into OWN row block; ids outside it map to
+                # rows_per (OOB drops — negative indices would WRAP)
+                loc = gathered.reshape(-1) - row0
+                loc = jnp.where((loc >= 0) & (loc < rows_per), loc,
+                                rows_per)
+                return jnp.zeros((rows_per,), bool).at[loc].max(
+                    True, mode="drop")
 
             def dense_exchange(_):
-                partial = jnp.zeros((n_pad,), bool).at[tgt].max(
-                    hits, mode="drop")
-                return jax.lax.pmax(partial.astype(jnp.int32), axis) > 0
+                partial = jnp.zeros((n_pad,), jnp.int32).at[tgt].max(
+                    hits.astype(jnp.int32), mode="drop")
+                # OR-reduce-scatter rides the ICI ring (round-4: was a
+                # full pmax + local slice at 2x the collective volume);
+                # sum-of-bools >= 1 is OR
+                return jax.lax.psum_scatter(
+                    partial, axis, scatter_dimension=0, tiled=True) > 0
 
-            nxt_full = jax.lax.cond(small, sparse_exchange, dense_exchange,
-                                    0)
-            mine = jax.lax.dynamic_slice(nxt_full, (row0,), (rows_per,))
+            mine = jax.lax.cond(small, sparse_exchange, dense_exchange, 0)
             mine = mine & (levels < 0)
             levels = jnp.where(mine, depth + 1, levels)
             return levels, mine, depth + 1
@@ -472,9 +479,13 @@ def dist_pagerank(A: DistMatrix, damping=0.85, tol=1e-6, max_iter=100):
             partial = jnp.zeros((n_pad,), jnp.float32).at[tgt].add(
                 contrib, mode="drop")
             dang_local = jnp.sum(jnp.where((outdeg == 0) & real, r, 0.0))
-            full = jax.lax.psum(partial, axis)
+            # reduce-scatter: each device keeps only its row block, riding
+            # the ICI ring at half the psum+slice collective volume
+            # (round-4 ask #10; scaling-book recipe: psum_scatter for
+            # partial-sum exchange)
+            mine = jax.lax.psum_scatter(partial, axis,
+                                        scatter_dimension=0, tiled=True)
             dang = jax.lax.psum(dang_local, axis)
-            mine = jax.lax.dynamic_slice(full, (row0,), (rows_per,))
             rn = damping * (mine + dang / n) + teleport
             rn = jnp.where(real, rn, 0.0)
             dloc = jnp.sum(jnp.abs(rn - r))
