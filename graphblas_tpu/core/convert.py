@@ -136,22 +136,53 @@ def _dense_to_sparse(a: Matrix, orient: str) -> Matrix:
 #    the storage, NOT of the logical matrix (reference: GB_convert cross
 #    product of formats; logical transpose lives in ops/transpose.py) -------
 
-def _sparse_reorient(a: Matrix, orient: str) -> Matrix:
+_reorient_jits: dict = {}
+
+
+def _reorient_fn(old_nvec: int, new_nvec: int, iso: bool):
+    """One jitted executable for the whole CSR<->CSC reorient pipeline.
+    Round-4: the eager chain (coords -> key -> sort -> split -> indptr)
+    cost ~1.5 s of per-op dispatch latency through the remote-TPU tunnel
+    on top of a ~0.3 s sort; one dispatch removes all of it."""
+    import jax
+    key = (old_nvec, new_nvec, iso)
+    fn = _reorient_jits.get(key)
+    if fn is not None:
+        return fn
     from ..kernels import segment as K
-    rows, cols = a._coords()
-    vals = a._vals_expanded()
-    if orient == ROW:
-        vec_ids, idx, nvec, veclen = rows, cols, a.nrows, a.ncols
-    else:
-        vec_ids, idx, nvec, veclen = cols, rows, a.ncols, a.nrows
-    keys = K.make_key(vec_ids, idx, veclen)
-    if a.iso:
-        skeys = jnp.sort(keys)
-        svals = a.values
-    else:
-        skeys, svals = K.sort_with_payload(keys, vals)
-    svec, sidx = K.key_split(skeys, veclen)
-    indptr = K.indptr_from_sorted(svec, nvec, INDEX)
+
+    def run(indptr, indices, values):
+        nnz = indices.shape[0]
+        vecid = K.expand_rowids(indptr, nnz, old_nvec)
+        # flip: new vec = stored idx, new idx = stored vec;
+        # new veclen == old nvec
+        keys = indices.astype(K.KEY) * old_nvec + vecid.astype(K.KEY)
+        if iso:
+            skeys = jnp.sort(keys)
+            svals = values
+        else:
+            skeys, svals = K.sort_with_payload(keys, values)
+        svec = (skeys // old_nvec).astype(INDEX)
+        sidx = (skeys % old_nvec).astype(INDEX)
+        counts = jnp.zeros((new_nvec,), jnp.int64).at[svec].add(
+            1, mode="drop")
+        indptr2 = jnp.concatenate(
+            [jnp.zeros(1, jnp.int64), jnp.cumsum(counts)]).astype(INDEX)
+        return indptr2, sidx, svals
+
+    fn = jax.jit(run)
+    if len(_reorient_jits) > 32:
+        _reorient_jits.clear()
+    _reorient_jits[key] = fn
+    return fn
+
+
+def _sparse_reorient(a: Matrix, orient: str) -> Matrix:
+    old_nvec = a._nvec_dim()
+    new_nvec = a.ncols if orient == COL else a.nrows
+    fn = _reorient_fn(old_nvec, new_nvec, bool(a.iso))
+    indptr, sidx, svals = fn(a.indptr, a.indices,
+                             a.values if a.iso else a._vals_expanded())
     return _clone(a, orient=orient, indptr=indptr, indices=sidx,
                   values=svals)
 

@@ -406,6 +406,27 @@ def _merge_ride_phase1(keysA, bitsA, keysB, bitsB, w):
     return ng, sk, sa, sb
 
 
+def union_merge_raw(keysA, valsA, keysB, valsB, key_bound=None):
+    """Phase-1-only union merge: returns (ng, sk, sa, sb, w) with the
+    SORTED raw planes (sk packs key<<2 | a_in | b_in<<1; entries past ng
+    carry the int64 sentinel).  Callers fuse their own decode+algebra
+    into one jitted finisher (round-4: the eager decode tail cost more
+    in per-op tunnel dispatches than the merge itself).  Returns None
+    when the payload cannot bit-ride (struct/complex) — use
+    ``union_merge``."""
+    bitsA, wA = _ride_encode(valsA)
+    bitsB, wB = _ride_encode(valsB)
+    if bitsA is None or bitsB is None \
+            or (key_bound is not None and key_bound >= (1 << 61)):
+        return None
+    w = max(wA, wB)
+    if w == 64:
+        bitsA = bitsA.astype(jnp.int64)
+        bitsB = bitsB.astype(jnp.int64)
+    ng, sk, sa, sb = _merge_ride_phase1(keysA, bitsA, keysB, bitsB, w)
+    return int(ng), sk, sa, sb, w
+
+
 def union_merge(keysA, valsA, keysB, valsB, key_bound=None):
     """Merge two sorted sparse patterns (each side duplicate-free).
     Returns (unique_keys, a_vals, b_vals, a_present, b_present) of length

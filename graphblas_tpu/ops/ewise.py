@@ -97,6 +97,85 @@ def _ewise_dense(A, B, op, mode, zt, alpha, beta):
     return Matrix(A.shape, zt, BITMAP, A.orient, values=zv, bitmap=pat)
 
 
+_ew_finish_jits: dict = {}
+
+
+def _pow2(x):
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _bucket2(x):
+    """Half-octave round-up (compile-variant bound for the finisher)."""
+    if x <= 8:
+        return max(int(x), 1)
+    g = _pow2(x) // 2
+    return ((int(x) + g - 1) // g) * g
+
+
+def _ew_finish_fn(mode, op, zt, veclen, nvec, w, adt, bdt, has_fill,
+                  orient):
+    """One jitted finisher for the whole post-merge eWise pipeline:
+    decode the rode value planes, apply the operator, build indptr —
+    one dispatch instead of the ~2 s eager tail (round-4)."""
+    import jax
+    key = (mode, op, zt, veclen, nvec, w, adt, bdt, has_fill, orient)
+    fn = _ew_finish_jits.get(key)
+    if fn is not None:
+        return fn
+    SENT = jnp.int64(2**63 - 1)
+
+    def run(sk, sa, sb, alpha, beta):
+        valid = sk != SENT
+        keys = sk >> 2
+        a_in = (sk & 1) == 1
+        b_in = (sk & 2) == 2
+        if w == 32:
+            LOW = jnp.int64((1 << 32) - 1)
+            uav = K._ride_decode(sa & LOW, adt)
+            ubv = K._ride_decode(sa >> 32, bdt)
+        else:
+            uav = K._ride_decode(sa, adt)
+            ubv = K._ride_decode(sb, bdt)
+        if op.positional:
+            zv = _positional_vals(op, keys, veclen, orient, zt.np_dtype)
+        elif mode == "union":
+            a_ = T.wh(a_in, uav, alpha.astype(uav.dtype))
+            b_ = T.wh(b_in, ubv, beta.astype(ubv.dtype))
+            zv = cast(op.fn(a_, b_), zt)
+        else:
+            zv = cast(op.fn(uav, ubv), zt)
+        if mode == "add" and not op.positional:
+            both = a_in & b_in
+            zv = T.wh(both, zv, T.wh(a_in, cast(uav, zt), cast(ubv, zt)))
+        if mode == "mult":
+            keep = valid & a_in & b_in
+            cnt = jnp.sum(keep.astype(jnp.int64))
+            k2 = jnp.where(keep, keys, SENT)
+            sk2, zv2 = jax.lax.sort((k2, zv), num_keys=1)
+            svec = jnp.where(sk2 != SENT, sk2 // veclen, nvec).astype(
+                jnp.int32)
+            sidx = (sk2 % veclen).astype(INDEX)
+            zv = zv2
+        else:
+            cnt = jnp.sum(valid.astype(jnp.int64))
+            svec = jnp.where(valid, keys // veclen, nvec).astype(jnp.int32)
+            sidx = (keys % veclen).astype(INDEX)
+        counts = jnp.zeros((nvec,), jnp.int64).at[svec].add(
+            1, mode="drop")
+        indptr = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                                  jnp.cumsum(counts)]).astype(INDEX)
+        return indptr, sidx, zv, cnt
+
+    fn = jax.jit(run)
+    if len(_ew_finish_jits) > 64:
+        _ew_finish_jits.clear()
+    _ew_finish_jits[key] = fn
+    return fn
+
+
 def _ewise_sparse(A, B, op, mode, zt, alpha, beta):
     orient = A.orient
     B = B.to_orient(orient)
@@ -104,9 +183,23 @@ def _ewise_sparse(A, B, op, mode, zt, alpha, beta):
     B = B.to_format(SPARSE) if B.fmt == HYPER else B
     ak, avals = _keys_of(A)
     bk, bvals = _keys_of(B)
-    ukeys, uav, ubv, a_in, b_in = K.union_merge(
-        ak, avals, bk, bvals, key_bound=A._veclen() * A._nvec_dim())
     veclen = A._veclen()
+    nvec = A._nvec_dim()
+    raw = K.union_merge_raw(ak, avals, bk, bvals,
+                            key_bound=veclen * nvec)
+    if raw is not None and not zt.shape:
+        ng, sk, sa, sb, w = raw
+        fn = _ew_finish_fn(mode, op, zt, veclen, nvec, w,
+                           jnp.dtype(avals.dtype), jnp.dtype(bvals.dtype),
+                           mode == "union", orient)
+        az = jnp.asarray(alpha if alpha is not None else 0, avals.dtype)
+        bz = jnp.asarray(beta if beta is not None else 0, bvals.dtype)
+        indptr, sidx, zv, cnt_d = fn(sk, sa, sb, az, bz)
+        cnt = int(cnt_d) if mode == "mult" else ng
+        return Matrix(A.shape, zt, SPARSE, orient, indptr=indptr,
+                      indices=sidx[:cnt], values=zv[:cnt])
+    ukeys, uav, ubv, a_in, b_in = K.union_merge(
+        ak, avals, bk, bvals, key_bound=veclen * nvec)
     if op.positional:
         zv = _positional_vals(op, ukeys, veclen, orient, zt.np_dtype)
     elif mode == "union":

@@ -60,7 +60,6 @@ def extract_pattern(A: Matrix, Iv: np.ndarray, Jv: np.ndarray) -> Matrix:
         return out
     CFG.burble("extract: sparse renumber path")
     S = A.to_format(SPARSE) if A.fmt == HYPER else A
-    rows, cols = S._coords()
     # selection masks + new-index maps
     row_map = np.full(A.nrows, -1, np.int64)
     row_map[Iv] = np.arange(ni)
@@ -68,31 +67,87 @@ def extract_pattern(A: Matrix, Iv: np.ndarray, Jv: np.ndarray) -> Matrix:
     col_map[Jv] = np.arange(nj)
     rm = jnp.asarray(row_map)
     cm = jnp.asarray(col_map)
-    nr = rm[rows]
-    nc = cm[cols]
-    keep = (nr >= 0) & (nc >= 0)
-    vals = S._vals_expanded()
     nnz = int(S.indices.shape[0])
-    cnt = int(jnp.sum(keep))
-    if cnt == nnz:
-        # permutation / GrB_ALL extract keeps everything: skip the three
-        # compaction gathers (random gathers are the costly primitive)
-        kr, kc, kv = nr, nc, vals
-    else:
-        src = K._compact_gather(keep, cnt) if cnt else None
-        if cnt == 0:
-            kr = kc = jnp.zeros(0, nr.dtype)
-            kv = vals[:0]
-        else:
-            kr, kc, kv = nr[src], nc[src], vals[src]
-    if S.orient == ROW:
-        vec, idx, nvec, veclen = kr, kc, ni, nj
-    else:
-        vec, idx, nvec, veclen = kc, kr, nj, ni
-    # values ride the sort as a fused payload plane (no post-sort gather)
+    by_row = S.orient == ROW
+    nvec, veclen = (ni, nj) if by_row else (nj, ni)
+    vals = S._vals_expanded()
+    cnt_d, nr, nc = _extract_phase1(S._nvec_dim())(
+        S.indptr, S.indices, rm, cm)
+    cnt = int(cnt_d)
+    if cnt == 0:
+        return Matrix((ni, nj), A.dtype, SPARSE, S.orient,
+                      indptr=jnp.zeros(nvec + 1, INDEX),
+                      indices=jnp.zeros(0, INDEX), values=vals[:0])
+    if cnt * 4 >= nnz:
+        # one fused sentinel-sort pipeline (dropped entries sort last);
+        # one dispatch replaces the eager compact+sort+split+indptr tail
+        indptr, sidx, svals = _extract_finish(nvec, veclen, by_row)(
+            nr, nc, vals)
+        return Matrix((ni, nj), A.dtype, SPARSE, S.orient, indptr=indptr,
+                      indices=sidx[:cnt], values=svals[:cnt])
+    # sparse selection (cnt << nnz): compact first, then sort the survivors
+    keep = (nr >= 0) & (nc >= 0)
+    src = K._compact_gather(keep, cnt)
+    kr, kc, kv = nr[src], nc[src], vals[src]
+    vec, idx = (kr, kc) if by_row else (kc, kr)
     keys = K.make_key(vec, idx, veclen)
     skeys, svals = K.sort_with_payload(keys, kv)
     svec, sidx = K.key_split(skeys, veclen)
     indptr = K.indptr_from_sorted(svec, nvec, INDEX)
     return Matrix((ni, nj), A.dtype, SPARSE, S.orient, indptr=indptr,
                   indices=sidx, values=svals)
+
+
+_extract_jits: dict = {}
+
+
+def _extract_phase1(store_nvec: int):
+    """Jitted renumber + keep-count (one dispatch)."""
+    import jax
+    key = ("p1", store_nvec)
+    fn = _extract_jits.get(key)
+    if fn is None:
+        def run(indptr, indices, rm, cm):
+            nnz = indices.shape[0]
+            rows = K.expand_rowids(indptr, nnz, store_nvec)
+            nr = rm[rows]
+            nc = cm[indices]
+            cnt = jnp.sum(((nr >= 0) & (nc >= 0)).astype(jnp.int64))
+            return cnt, nr, nc
+
+        fn = jax.jit(run)
+        _extract_jits[key] = fn
+    return fn
+
+
+def _extract_finish(nvec: int, veclen: int, by_row: bool):
+    """Jitted sentinel-sort finisher: dropped entries get a sentinel key
+    and sort last; counts scatter-drop them, callers slice [:cnt]."""
+    import jax
+    key = ("fin", nvec, veclen, by_row)
+    fn = _extract_jits.get(key)
+    if fn is None:
+        SENT = jnp.int64(2**62)
+
+        def run(nr, nc, vals):
+            vec, idx = (nr, nc) if by_row else (nc, nr)
+            keep = (nr >= 0) & (nc >= 0)
+            keys = jnp.where(keep,
+                             vec.astype(jnp.int64) * veclen
+                             + idx.astype(jnp.int64), SENT)
+            skeys, svals = K.sort_with_payload(keys, vals)
+            svec = jnp.where(skeys != SENT, skeys // veclen,
+                             nvec).astype(jnp.int32)
+            sidx = (skeys % veclen).astype(INDEX)
+            counts = jnp.zeros((nvec,), jnp.int64).at[svec].add(
+                1, mode="drop")
+            indptr = jnp.concatenate(
+                [jnp.zeros(1, jnp.int64),
+                 jnp.cumsum(counts)]).astype(INDEX)
+            return indptr, sidx, svals
+
+        fn = jax.jit(run)
+        if len(_extract_jits) > 64:
+            _extract_jits.clear()
+        _extract_jits[key] = fn
+    return fn

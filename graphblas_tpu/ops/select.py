@@ -32,14 +32,53 @@ def select(A: Matrix, op: IndexUnaryOp, thunk=0, *, C=None, mask=None,
                     bitmap=keep)
     else:
         S = A.to_format(SPARSE) if A.fmt == HYPER else A
-        rows, cols = S._coords()
-        vals = S._vals_expanded()
-        keep = op.fn(vals, rows.astype(jnp.int64), cols.astype(jnp.int64),
-                     thunk) != 0
-        vec, idx = (rows, cols) if S.orient == "row" else (cols, rows)
-        cnt, (fvec, fidx, fv) = K.compact(keep, vec, idx, vals)
-        indptr = K.indptr_from_sorted(fvec, S._nvec_dim(), INDEX)
+        nvec = S._nvec_dim()
+        cnt_d, indptr, fidx, fv = _select_fn(op, nvec, S.orient)(
+            S.indptr, S.indices, S._vals_expanded(), thunk)
+        cnt = int(cnt_d)
         Tm = Matrix(A.shape, A.dtype, SPARSE, S.orient, indptr=indptr,
-                    indices=fidx, values=fv)
+                    indices=fidx[:cnt], values=fv[:cnt])
     klass = type(A) if C is None else None
     return writeback(C, mask, accum, Tm, desc, out_dtype, out_class=klass)
+
+
+_select_jits: dict = {}
+
+
+def _select_fn(op: IndexUnaryOp, nvec: int, orient: str):
+    """One jitted executable for the whole sparse select (predicate +
+    stable scatter-compaction + indptr); round-4: the eager chain paid
+    ~1 s of per-op dispatch latency through the remote-TPU tunnel."""
+    import jax
+    key = (op, nvec, orient)
+    fn = _select_jits.get(key)
+    if fn is not None:
+        return fn
+
+    def run(indptr, indices, vals, thunk):
+        nnz = indices.shape[0]
+        vecid = K.expand_rowids(indptr, nnz, nvec)
+        if orient == "row":
+            rows, cols = vecid, indices
+        else:
+            rows, cols = indices, vecid
+        keep = op.fn(vals, rows.astype(jnp.int64), cols.astype(jnp.int64),
+                     thunk) != 0
+        cnt = jnp.sum(keep.astype(jnp.int64))
+        pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        tgt = jnp.where(keep, pos, nnz)
+        fidx = jnp.zeros((nnz,), INDEX).at[tgt].set(
+            indices.astype(INDEX), mode="drop")
+        fv = jnp.zeros(vals.shape, vals.dtype).at[tgt].set(
+            vals, mode="drop")
+        counts = jnp.zeros((nvec,), jnp.int64).at[
+            jnp.where(keep, vecid, nvec)].add(1, mode="drop")
+        indptr2 = jnp.concatenate(
+            [jnp.zeros(1, jnp.int64), jnp.cumsum(counts)]).astype(INDEX)
+        return cnt, indptr2, fidx, fv
+
+    fn = jax.jit(run)
+    if len(_select_jits) > 64:
+        _select_jits.clear()
+    _select_jits[key] = fn
+    return fn
