@@ -145,6 +145,134 @@ def _unbits32(x, kdt):
 
 
 # ---------------------------------------------------------------------------
+# driver phase jits: A (pre-layout reductions + one packed D2H), B (table
+# build), C (entry arrays).  Each phase is ONE dispatch; the eager chains
+# they replace cost ~25 ms per op through the remote-TPU tunnel.
+# ---------------------------------------------------------------------------
+
+_phase_jits: dict = {}
+
+
+def _phaseA_fn(m: int, masked: bool, valued: bool):
+    key = ("A", m, masked, valued)
+    fn = _phase_jits.get(key)
+    if fn is not None:
+        return fn
+
+    def run(bip, aip, aix, mip, mvals):
+        blenB32 = jnp.diff(bip).astype(jnp.int32)
+        nsegB = (blenB32 + (SEGW - 1)) // SEGW
+        segbaseB32 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                      jnp.cumsum(nsegB)])
+        f_e = blenB32[aix]
+        nseg_e = (f_e + (SEGW - 1)) // SEGW
+        cumseg = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(nseg_e)])
+        row_segbase = cumseg[aip.astype(jnp.int32)]          # (m+1,)
+        row_nseg = row_segbase[1:] - row_segbase[:-1]        # (m,)
+        if masked:
+            mip32 = mip.astype(jnp.int32)
+            if valued:
+                mkeep = (mvals != 0)
+                mkcum = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32),
+                     jnp.cumsum(mkeep.astype(jnp.int32))])
+                mdeg = mkcum[mip32[1:]] - mkcum[mip32[:-1]]
+            else:
+                mkcum = jnp.zeros((1,), jnp.int32)
+                mdeg = jnp.diff(mip32)
+            host_meta = jnp.concatenate(
+                [segbaseB32[-1:], row_nseg.astype(jnp.int32),
+                 mdeg.astype(jnp.int32)])
+        else:
+            mkcum = jnp.zeros((1,), jnp.int32)
+            host_meta = jnp.concatenate(
+                [segbaseB32[-1:], row_nseg.astype(jnp.int32)])
+            mdeg = mkcum
+        return (blenB32, segbaseB32, cumseg, row_segbase, mkcum, mdeg,
+                host_meta)
+
+    fn = jax.jit(run)
+    if len(_phase_jits) > 96:
+        _phase_jits.clear()
+    _phase_jits[key] = fn
+    return fn
+
+
+def _phaseB_fn(tblN: int, m: int, bnrows: int, masked: bool, valued: bool,
+               mode_av: str, kdt_name: str):
+    key = ("B", tblN, m, bnrows, masked, valued, mode_av, kdt_name)
+    fn = _phase_jits.get(key)
+    if fn is not None:
+        return fn
+    need_v = mode_av in ("second", "general")
+
+    def run(bip, bix, bv, segbaseB32, mip32, mix, mkcum, nsegB_arr):
+        nnzB = bix.shape[0]
+        rowsB = K.expand_rowids(bip, nnzB, bnrows).astype(jnp.int32)
+        destB = (segbaseB32[rowsB] * SEGW
+                 + jnp.arange(nnzB, dtype=jnp.int32)
+                 - bip[rowsB].astype(jnp.int32))
+        tblj_flat = jnp.full((tblN * SEGW,), jnp.int32(2**31 - 1))
+        tblj_flat = tblj_flat.at[destB].set(bix.astype(jnp.int32))
+        if need_v:
+            bvb = _bits32i(bv)
+            tblv_flat = jnp.zeros((tblN * SEGW,), jnp.int32) \
+                .at[destB].set(bvb)
+        else:
+            tblv_flat = jnp.zeros((1 * SEGW,), jnp.int32)
+        if masked:
+            nnzM = mix.shape[0]
+            mrows = K.expand_rowids(mip32, nnzM, m).astype(jnp.int32)
+            if valued:
+                mkeep = (mkcum[1:] - mkcum[:-1]) == 1
+                mdeg = mkcum[mip32[1:]] - mkcum[mip32[:-1]]
+                within = mkcum[1:] - 1 - mkcum[mip32[mrows]]
+            else:
+                mkeep = None
+                mdeg = jnp.diff(mip32)
+                within = jnp.arange(nnzM, dtype=jnp.int32) - mip32[mrows]
+            msegs = (mdeg + (SEGW - 1)) // SEGW
+            msegbase = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                        jnp.cumsum(msegs)])
+            destM = ((nsegB_arr + msegbase[mrows]) * SEGW + within)
+            if mkeep is not None:
+                destM = jnp.where(mkeep, destM, tblN * SEGW)  # dropped
+            tblj_flat = tblj_flat.at[destM].set(
+                mix.astype(jnp.int32), mode="drop")
+        return tblj_flat.reshape(tblN, SEGW), tblv_flat.reshape(-1, SEGW)
+
+    fn = jax.jit(run)
+    _phase_jits[key] = fn
+    return fn
+
+
+def _phaseC_fn(EPAD: int, need_av: bool, m: int):
+    key = ("C", EPAD, need_av, m)
+    fn = _phase_jits.get(key)
+    if fn is not None:
+        return fn
+
+    def run(aip, aix, av, cumseg, row_segbase, segbaseB32, starts_d, fbm):
+        nnzA = aix.shape[0]
+        a_rows = K.expand_rowids(aip, nnzA, m).astype(jnp.int32)
+        nseg_e = cumseg[1:] - cumseg[:-1]
+        ent_runstart = (starts_d[a_rows] + cumseg[:-1]
+                        - row_segbase[:-1][a_rows])
+        nseg_live = jnp.where(fbm[a_rows], 0, nseg_e)
+        FAR32 = jnp.int32(1) << 30
+        rs = _pad_to(ent_runstart, EPAD, FAR32)
+        sb = _pad_to(segbaseB32[aix], EPAD, 0)
+        ns = _pad_to(nseg_live, EPAD, 0).astype(jnp.int32)
+        pav = _pad_to(av, EPAD, 0) if need_av else av
+        return rs, sb, ns, pav
+
+    fn = jax.jit(run)
+    _phase_jits[key] = fn
+    return fn
+
+
+# ---------------------------------------------------------------------------
 # pass 1: scan over blocks -> sorted/deduped padded streams + row counts
 # ---------------------------------------------------------------------------
 
@@ -412,36 +540,32 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
     nnzA = int(Ar.indices.shape[0])
     nnzB = int(Br.indices.shape[0])
 
-    # ---- B -> SELL-8 packed table (device) -------------------------------
-    blenB32 = jnp.diff(Br.indptr).astype(jnp.int32)
-    nsegB = (blenB32 + (SEGW - 1)) // SEGW
-    segbaseB32 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                  jnp.cumsum(nsegB)])
-    nsegB_tot = int(segbaseB32[-1])
+    # ---- phase A: one jitted dispatch for every pre-layout reduction ------
+    # (segment bases for B, per-entry segment counts for A, per-row mask
+    # degrees) + ONE packed D2H of everything the host layout sweep needs.
+    # Round-4: this section was ~12 eager dispatches at ~25 ms each
+    # through the remote-TPU tunnel.
+    masked = mask is not None and mask.fmt in (SPARSE, HYPER)
+    Mr = mask.to_format(SPARSE, ROW) if masked else None
+    nnzM = int(Mr.indices.shape[0]) if masked else 0
+    valued = masked and not desc.mask_structure and nnzM > 0
+    fnA = _phaseA_fn(int(m), masked, valued)
+    if masked:
+        mvals = (Mr._vals_expanded() if valued
+                 else jnp.zeros((1,), jnp.int8))
+        outA = fnA(Br.indptr, Ar.indptr, Ar.indices, Mr.indptr, mvals)
+    else:
+        z1 = jnp.zeros((1,), jnp.int32)
+        outA = fnA(Br.indptr, Ar.indptr, Ar.indices, z1, z1)
+    (blenB32, segbaseB32, cumseg, row_segbase, mkcum, mdeg_d,
+     host_meta) = outA
+    meta = np.asarray(host_meta)                 # ONE packed D2H
+    nsegB_tot = int(meta[0])
+    row_nseg_h = meta[1:1 + m].astype(np.int64)
     if nsegB_tot >= (1 << 27):
         return None          # int32 slot domain (and table memory) bound
-
-    masked = mask is not None and mask.fmt in (SPARSE, HYPER)
     if masked:
-        # mask prep stays on DEVICE (round-4: the old np.asarray of the
-        # mask's indices/values pulled ~12 B/nnz(M) through the tunnel
-        # every call); the host only sees the m-sized per-row degree for
-        # the layout sweep.  Valued masks never compact: zero-valued
-        # entries keep no slot (their within-row rank skips them) and
-        # their scatter destination drops.
-        Mr = mask.to_format(SPARSE, ROW)
-        nnzM = int(Mr.indices.shape[0])
-        mip_d = Mr.indptr.astype(jnp.int32)
-        if not desc.mask_structure and nnzM:
-            mkeep = (Mr._vals_expanded() != 0)
-            mkcum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                     jnp.cumsum(mkeep.astype(jnp.int32))])
-            mdeg_d = mkcum[mip_d[1:]] - mkcum[mip_d[:-1]]
-        else:
-            mkeep = None
-            mkcum = None
-            mdeg_d = jnp.diff(mip_d)
-        mdeg_h = np.asarray(mdeg_d).astype(np.int64)
+        mdeg_h = meta[1 + m:1 + 2 * m].astype(np.int64)
         msegs_h = (mdeg_h + (SEGW - 1)) // SEGW
         msegbase_h = np.zeros(m + 1, np.int64)
         np.cumsum(msegs_h, out=msegbase_h[1:])
@@ -449,51 +573,26 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
     else:
         nsegM_tot = 0
 
-    # shapes that vary with content are bucketed (1/8-pow2 granularity)
-    # so repeat calls share executables — recompiles were the round-2
-    # tier's dominant measured cost
+    # shapes that vary with content are bucketed so repeat calls share
+    # executables — recompiles were the round-2 tier's dominant cost
     tblN = _bucket(nsegB_tot + nsegM_tot + 1)
-    # two int32 planes (j, value bits) instead of one packed int64: a
-    # 64-bit scatter costs 10x a 32-bit one on v5e, and the pass-1 row
-    # gather reads both planes at the same cost
-    rowsB = K.expand_rowids(Br.indptr, nnzB, Br.nrows).astype(jnp.int32)
-    destB = (segbaseB32[rowsB] * SEGW
-             + jnp.arange(nnzB, dtype=jnp.int32)
-             - Br.indptr[rowsB].astype(jnp.int32))
-    bj = Br.indices.astype(jnp.int32)
-    tblj_flat = jnp.full((tblN * SEGW,), jnp.int32(2**31 - 1))
-    tblj_flat = tblj_flat.at[destB].set(bj)
-    if mode_av in ("second", "general"):
-        bvb = _bits32i(Br._vals_expanded().astype(kdt_np))
-        tblv_flat = jnp.zeros((tblN * SEGW,), jnp.int32).at[destB].set(bvb)
-    else:
-        tblv_flat = jnp.zeros((1 * SEGW,), jnp.int32)
+    # ---- phase B: table build, one jitted dispatch ------------------------
+    fnB = _phaseB_fn(tblN, int(m), int(Br.nrows), masked, valued,
+                     mode_av, kdt_name)
+    bv_in = (Br._vals_expanded().astype(kdt_np)
+             if mode_av in ("second", "general")
+             else jnp.zeros((1,), kdt_np))
     if masked and nnzM:
-        mrows = K.expand_rowids(mip_d, nnzM, m).astype(jnp.int32)
-        msegbase_d = jnp.asarray(msegbase_h.astype(np.int32))
-        if mkeep is None:
-            within = jnp.arange(nnzM, dtype=jnp.int32) - mip_d[mrows]
-        else:
-            within = mkcum[1:] - 1 - mkcum[mip_d[mrows]]
-        destM = ((jnp.int32(nsegB_tot) + msegbase_d[mrows]) * SEGW + within)
-        if mkeep is not None:
-            destM = jnp.where(mkeep, destM, tblN * SEGW)   # dropped
-        tblj_flat = tblj_flat.at[destM].set(
-            Mr.indices.astype(jnp.int32), mode="drop")
-    tblj = tblj_flat.reshape(tblN, SEGW)
-    tblv = tblv_flat.reshape(-1, SEGW)
+        tblj, tblv = fnB(Br.indptr, Br.indices, bv_in, segbaseB32,
+                         Mr.indptr.astype(jnp.int32), Mr.indices, mkcum,
+                         jnp.int32(nsegB_tot))
+    else:
+        z1 = jnp.zeros((1,), jnp.int32)
+        tblj, tblv = fnB(Br.indptr, Br.indices, bv_in, segbaseB32,
+                         z1, z1, mkcum, jnp.int32(nsegB_tot))
     _sdbg("table built", tblj)
 
-    # ---- per-entry arrays (device) ----------------------------------------
-    f_e = blenB32[Ar.indices]
-    nseg_e = (f_e + (SEGW - 1)) // SEGW
-    cumseg = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(nseg_e)])
-    row_segbase = cumseg[Ar.indptr.astype(jnp.int32)]        # (m+1,)
-    row_nseg = row_segbase[1:] - row_segbase[:-1]            # (m,)
-
     # ---- host layout sweep -------------------------------------------------
-    row_nseg_h = np.asarray(row_nseg)
     adeg_h = np.diff(ip_h)
     if masked:
         tok_h = ((row_nseg_h > 0) & (msegs_h > 0)).astype(np.uint8)
@@ -553,29 +652,23 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
     br0_p[:nblk], be0_p[:nblk], bt0_p[:nblk], bs0_p[:nblk] = \
         br0, be0, bt0, bs0
 
-    # ---- device entry arrays, padded by one block budget ------------------
-    a_rows = K.expand_rowids(Ar.indptr, nnzA, m).astype(jnp.int32)
+    # ---- device entry arrays (phase C: one jitted dispatch) ---------------
     starts_d = jnp.asarray(starts_h.astype(np.int32))         # (m+1,)
     rank_d = jnp.asarray(rank_h.astype(np.int32))
-    ent_runstart = (starts_d[a_rows] + cumseg[:-1]
-                    - row_segbase[:-1][a_rows])
-    if fb_rows.size:
-        fb_mask = jnp.zeros((m,), jnp.bool_).at[
-            jnp.asarray(fb_rows)].set(True)
-        nseg_live = jnp.where(fb_mask[a_rows], 0, nseg_e)
-    else:
-        nseg_live = nseg_e
     EPAD = nnzA_pad + E_BLK
     FAR32 = jnp.int32(1) << 30      # out of every block's [0, S8) window
-    ent = {
-        "runstartseg": _pad_to(ent_runstart, EPAD, FAR32),
-        "segstartB": _pad_to(segbaseB32[Ar.indices], EPAD, 0),
-        "nseg": _pad_to(nseg_live, EPAD, 0).astype(jnp.int32),
-    }
-    if mode_av in ("first", "general"):
-        ent["av"] = _pad_to(Ar._vals_expanded().astype(kdt_np), EPAD, 0)
-    else:
-        ent["av"] = jnp.zeros((1,), kdt_np)
+    fbm_h = np.zeros(m, bool)
+    if fb_rows.size:
+        fbm_h[fb_rows] = True
+    need_av = mode_av in ("first", "general")
+    fnC = _phaseC_fn(EPAD, need_av, int(m))
+    av_in = (Ar._vals_expanded().astype(kdt_np) if need_av
+             else jnp.zeros((1,), kdt_np))
+    rs_e, sb_e, ns_e, av_e = fnC(Ar.indptr, Ar.indices, av_in, cumseg,
+                                 row_segbase, segbaseB32, starts_d,
+                                 jnp.asarray(fbm_h))
+    ent = {"runstartseg": rs_e, "segstartB": sb_e, "nseg": ns_e,
+           "av": av_e}
     TPAD = ntok_pad + R_BLK
     if masked:
         trow = np.flatnonzero(tok_h)
