@@ -309,14 +309,31 @@ def triangle_count(A: Matrix) -> int:
     pipeline collapsed into one executable); falls back to the public
     mxm + reduce_scalar pair otherwise."""
     import graphblas_tpu as gb
+    from ..core.matrix import ROW, SPARSE
     from ..ops.mxm import mxm_reduce_scalar
-    L = gb.select(A, gb.operators.TRIL, -1)
-    d = Descriptor(mask_structure=True, transpose1=True)
-    acc = mxm_reduce_scalar(L, L, SR.PLUS_PAIR, mask=L, desc=d)
+    from ..ops.transpose import logical_transpose
+    # derived-structure cache per input pattern (the hyper-hash idiom,
+    # reference GB_hyper_hash_build.c: build once, reuse while the
+    # pattern lives): repeat counts skip the select + reorient entirely
+    ck = (id(A.indptr), id(A.indices))
+    ent = _tc_cache.get(ck)
+    if ent is not None and ent[0] is A.indptr and ent[1] is A.indices:
+        L, LT = ent[2], ent[3]
+    else:
+        L = gb.select(A, gb.operators.TRIL, -1)
+        LT = logical_transpose(L).to_format(SPARSE, ROW)   # L' materialized
+        if len(_tc_cache) > 4:
+            _tc_cache.clear()
+        _tc_cache[ck] = (A.indptr, A.indices, L, LT)
+    d = Descriptor(mask_structure=True)
+    acc = mxm_reduce_scalar(L, LT, SR.PLUS_PAIR, mask=L, desc=d)
     if acc is not None:
         return int(acc)
-    C = gb.mxm(L, L, SR.PLUS_PAIR, mask=L, desc=d, out_dtype=T.INT64)
+    C = gb.mxm(L, LT, SR.PLUS_PAIR, mask=L, desc=d, out_dtype=T.INT64)
     return int(gb.reduce_scalar(C, MON.PLUS, out_dtype=T.INT64))
+
+
+_tc_cache: dict = {}
 
 
 # ---------------------------------------------------------------------------
