@@ -164,10 +164,7 @@ def _reorient_fn(old_nvec: int, new_nvec: int, iso: bool):
             skeys, svals = K.sort_with_payload(keys, values)
         svec = (skeys // old_nvec).astype(INDEX)
         sidx = (skeys % old_nvec).astype(INDEX)
-        counts = jnp.zeros((new_nvec,), jnp.int64).at[svec].add(
-            1, mode="drop")
-        indptr2 = jnp.concatenate(
-            [jnp.zeros(1, jnp.int64), jnp.cumsum(counts)]).astype(INDEX)
+        indptr2 = K.indptr_from_sorted(svec, new_nvec, INDEX)
         return indptr2, sidx, svals
 
     fn = jax.jit(run)

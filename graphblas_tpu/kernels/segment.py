@@ -44,13 +44,25 @@ def expand_rowids(indptr, nnz: int, nvec: int):
 
 def indptr_from_sorted(vec_ids, nvec: int, dtype=jnp.int32):
     """Build an indptr array from sorted vector ids (the cumsum step of
-    GB_builder, reference: Source/GB_builder.c step 4).  Counting scatter
-    + cumsum: ~3x the searchsorted formulation on v5e (binary-search
-    gathers are pathological on the vector ISA)."""
-    counts = jnp.zeros((nvec,), jnp.int64).at[vec_ids].add(
-        1, mode="drop")
+    GB_builder, reference: Source/GB_builder.c step 4).  Sorted
+    segment-sum histogram: the random scatter-add formulation measured
+    2.24 s at 16.7M -> 1M on v5e (collision serialization); the sorted
+    path is 173 ms (round-4 primitive shootout)."""
+    counts = histogram_sorted(vec_ids, nvec)
     return jnp.concatenate([jnp.zeros(1, jnp.int64),
                             jnp.cumsum(counts)]).astype(dtype)
+
+
+def histogram_sorted(vec_ids, nvec: int, weights=None):
+    """Per-id counts for SORTED ids via segment_sum(indices_are_sorted).
+    Ids beyond nvec-1 (sentinels at the tail) clip to an extra bucket
+    that is sliced off, preserving sortedness."""
+    w = weights if weights is not None \
+        else jnp.ones(vec_ids.shape[0], jnp.int32)
+    ids = jnp.minimum(vec_ids, nvec)
+    return jax.ops.segment_sum(w, ids, nvec + 1,
+                               indices_are_sorted=True)[:nvec] \
+        .astype(jnp.int64)
 
 
 def combined_key(rows, cols, ncols: int, by_row: bool = True):

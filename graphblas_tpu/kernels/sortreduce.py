@@ -71,13 +71,18 @@ def _posC(shape, C):
     return ((sub * 128) + lane) & (C - 1)
 
 
-def _sort_reduce_body(kx, vx, C, SB, add_fn, tx=None, want_token=True):
+def _sort_reduce_body(kx, vx, C, SB, add_fn, tx=None, want_token=True,
+                      kx2=None):
     """Sort + segmented reduce of one block.  With ``tx`` (int32, 1 =
     mask token / 2 = product, 0 = pad), tokens ride the same sort, the
     2-bit channel reduces with bitwise OR over each run, and a run's
     output survives only if it saw a product AND token presence matches
     ``want_token`` — the dot3 mask filter without any key lookups
-    (reference: Source/GB_AxB_dot3_template.c's mask-driven pattern)."""
+    (reference: Source/GB_AxB_dot3_template.c's mask-driven pattern).
+
+    ``kx2``: optional SECOND key plane for a lexicographic (kx, kx2)
+    sort — the wide-key mode lifting the n < 2^23 packed-key bound
+    (round-4 ask #9): kx carries the row rank, kx2 the raw column."""
     posC = _posC(kx.shape, C)
     # ---- bitonic sort (ascending per C-run) -------------------------------
     # flag arithmetic stays in int32: Mosaic (2026-08 toolchain) lowers
@@ -94,19 +99,35 @@ def _sort_reduce_body(kx, vx, C, SB, add_fn, tx=None, want_token=True):
             pv = _xor_partner(vx, d, SB)
             bit_d = (posC >> j) & 1
             take_min = bit_k == bit_d
-            lt_i = (pk < kx).astype(jnp.int32)
-            gt_i = (pk > kx).astype(jnp.int32)
+            if kx2 is None:
+                lt_i = (pk < kx).astype(jnp.int32)
+                gt_i = (pk > kx).astype(jnp.int32)
+            else:
+                pk2 = _xor_partner(kx2, d, SB)
+                eq_i = (pk == kx).astype(jnp.int32)
+                lt_i = ((pk < kx).astype(jnp.int32)
+                        | (eq_i & (pk2 < kx2).astype(jnp.int32)))
+                gt_i = ((pk > kx).astype(jnp.int32)
+                        | (eq_i & (pk2 > kx2).astype(jnp.int32)))
             swap = jnp.where(take_min, lt_i, gt_i) != 0
             kx = jnp.where(swap, pk, kx)
             vx = jnp.where(swap, pv, vx)
+            if kx2 is not None:
+                kx2 = jnp.where(swap, pk2, kx2)
             if tx is not None:
                 pt = _xor_partner(tx, d, SB)
                 tx = jnp.where(swap, pt, tx)
     # ---- segmented inclusive scan over duplicate runs ---------------------
     # flags ride in int32 lanes: pltpu.roll of i1 vectors does not lower
     prev_k = _flat_shift(kx, 1, SB)
+    if kx2 is None:
+        neq_i = (kx != prev_k).astype(jnp.int32)
+    else:
+        prev_k2 = _flat_shift(kx2, 1, SB)
+        neq_i = ((kx != prev_k).astype(jnp.int32)
+                 | (kx2 != prev_k2).astype(jnp.int32))
     flag_i = (((posC == 0).astype(jnp.int32)
-               + (kx != prev_k).astype(jnp.int32)) != 0).astype(jnp.int32)
+               + neq_i) != 0).astype(jnp.int32)
     v = vx
     t = tx
     f = flag_i
@@ -125,15 +146,26 @@ def _sort_reduce_body(kx, vx, C, SB, add_fn, tx=None, want_token=True):
     # ---- run-end extraction ----------------------------------------------
     # next element (p + 1) via the inverse flat shift: roll up by 1
     lane = jax.lax.broadcasted_iota(jnp.int32, kx.shape, 1)
-    lu = pltpu.roll(kx, 127, 1)
-    su = pltpu.roll(lu, SB - 1, 0)
-    next_k = jnp.where(lane == 127, su, lu)
-    run_end = (posC == C - 1) | (kx != next_k)
+
+    def nxt(a):
+        lu = pltpu.roll(a, 127, 1)
+        su = pltpu.roll(lu, SB - 1, 0)
+        return jnp.where(lane == 127, su, lu)
+
+    if kx2 is None:
+        run_end = (posC == C - 1) | (kx != nxt(kx))
+    else:
+        run_end = ((posC == C - 1) | (kx != nxt(kx))
+                   | (kx2 != nxt(kx2)))
     keep = run_end & (kx != SENTINEL)
     if tx is not None:
         tok_bit = 1 if want_token else 0
         keep = keep & ((t & 2) != 0) & ((t & 1) == tok_bit)
     okeys = jnp.where(keep, kx, jnp.full(kx.shape, SENTINEL, jnp.int32))
+    if kx2 is not None:
+        okeys2 = jnp.where(keep, kx2,
+                           jnp.full(kx.shape, SENTINEL, jnp.int32))
+        return okeys, okeys2, v
     return okeys, v
 
 
@@ -245,6 +277,90 @@ def sort_reduce_rows(keys, vals, C, monoid, *, logical=False,
     if pad:
         ok, ov = ok[:S], ov[:S]
     return ok, ov
+
+
+@functools.lru_cache(maxsize=64)
+def _kernel_fn_wide(C, SB, monoid, val_dtype_name, logical, tok,
+                    want_token, interpret):
+    """Compiled lexicographic-(rank, column) sort-reduce (wide-key mode,
+    n < 2^31; round-4 ask #9).  ``tok`` adds the token channel."""
+    raw = monoid.op
+
+    if logical:
+        def add_fn(a, b):
+            return raw(a.astype(jnp.bool_),
+                       b.astype(jnp.bool_)).astype(jnp.int32)
+    else:
+        def add_fn(a, b):
+            return raw(a, b)
+
+    if tok:
+        def kernel(kh_ref, kl_ref, v_ref, t_ref, okh_ref, okl_ref,
+                   ov_ref):
+            okh, okl, ov = _sort_reduce_body(
+                kh_ref[:], v_ref[:], C, SB, add_fn, tx=t_ref[:],
+                want_token=want_token, kx2=kl_ref[:])
+            okh_ref[:] = okh
+            okl_ref[:] = okl
+            ov_ref[:] = ov
+    else:
+        def kernel(kh_ref, kl_ref, v_ref, okh_ref, okl_ref, ov_ref):
+            okh, okl, ov = _sort_reduce_body(
+                kh_ref[:], v_ref[:], C, SB, add_fn, kx2=kl_ref[:])
+            okh_ref[:] = okh
+            okl_ref[:] = okl
+            ov_ref[:] = ov
+
+    grid_blk = pl.BlockSpec((SB, 128), lambda i: (i, 0))
+    vdt = jnp.dtype(val_dtype_name)
+    n_in = 4 if tok else 3
+
+    def run(*arrays):
+        S = arrays[0].shape[0]
+        nblk = S // SB
+        f = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[grid_blk] * n_in,
+            out_specs=[grid_blk] * 3,
+            out_shape=[jax.ShapeDtypeStruct((S, 128), jnp.int32),
+                       jax.ShapeDtypeStruct((S, 128), jnp.int32),
+                       jax.ShapeDtypeStruct((S, 128), vdt)],
+            interpret=bool(interpret))
+        with jax.enable_x64(False):
+            return f(*arrays)
+
+    return jax.jit(run)
+
+
+def sort_reduce_rows_wide(keysh, keysl, vals, C, monoid, *, toks=None,
+                          want_token=True, logical=False, interpret=False):
+    """Lexicographic (rank, column) variant of sort_reduce_rows[_tok]:
+    two int32 key planes instead of one packed key, so the column plane
+    carries a full int32 (n < 2^31).  Returns (okeysh, okeysl, ovals)."""
+    C = int(C)
+    S = keysh.shape[0]
+    row_sub = max(C // 128, 1)
+    SB = row_sub * max(1, 512 // row_sub)
+    pad = (-S) % SB
+    if pad:
+        keysh = jnp.concatenate(
+            [keysh, jnp.full((pad, 128), SENTINEL, jnp.int32)])
+        keysl = jnp.concatenate(
+            [keysl, jnp.full((pad, 128), SENTINEL, jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, 128), vals.dtype)])
+        if toks is not None:
+            toks = jnp.concatenate(
+                [toks, jnp.zeros((pad, 128), jnp.int32)])
+    fn = _kernel_fn_wide(C, SB, monoid, np.dtype(vals.dtype).name,
+                         bool(logical), toks is not None,
+                         bool(want_token), bool(interpret))
+    args = (keysh, keysl, vals) if toks is None else \
+        (keysh, keysl, vals, toks)
+    okh, okl, ov = fn(*args)
+    if pad:
+        okh, okl, ov = okh[:S], okl[:S], ov[:S]
+    return okh, okl, ov
 
 
 def sort_reduce_rows_tok(keys, vals, toks, C, monoid, *, want_token=True,

@@ -163,10 +163,7 @@ def _ew_finish_fn(mode, op, zt, veclen, nvec, w, adt, bdt, has_fill,
             cnt = jnp.sum(valid.astype(jnp.int64))
             svec = jnp.where(valid, keys // veclen, nvec).astype(jnp.int32)
             sidx = (keys % veclen).astype(INDEX)
-        counts = jnp.zeros((nvec,), jnp.int64).at[svec].add(
-            1, mode="drop")
-        indptr = jnp.concatenate([jnp.zeros(1, jnp.int64),
-                                  jnp.cumsum(counts)]).astype(INDEX)
+        indptr = K.indptr_from_sorted(svec, nvec, INDEX)
         return indptr, sidx, zv, cnt
 
     fn = jax.jit(run)

@@ -139,11 +139,7 @@ def _extract_finish(nvec: int, veclen: int, by_row: bool):
             svec = jnp.where(skeys != SENT, skeys // veclen,
                              nvec).astype(jnp.int32)
             sidx = (skeys % veclen).astype(INDEX)
-            counts = jnp.zeros((nvec,), jnp.int64).at[svec].add(
-                1, mode="drop")
-            indptr = jnp.concatenate(
-                [jnp.zeros(1, jnp.int64),
-                 jnp.cumsum(counts)]).astype(INDEX)
+            indptr = K.indptr_from_sorted(svec, nvec, INDEX)
             return indptr, sidx, svals
 
         fn = jax.jit(run)

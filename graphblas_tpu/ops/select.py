@@ -71,8 +71,11 @@ def _select_fn(op: IndexUnaryOp, nvec: int, orient: str):
             indices.astype(INDEX), mode="drop")
         fv = jnp.zeros(vals.shape, vals.dtype).at[tgt].set(
             vals, mode="drop")
-        counts = jnp.zeros((nvec,), jnp.int64).at[
-            jnp.where(keep, vecid, nvec)].add(1, mode="drop")
+        # vecid is CSR-sorted; count kept entries by WEIGHT (0/1) so the
+        # sorted segment-sum path applies (a where->nvec remap would
+        # break sortedness and fall back to the 2.2 s random scatter)
+        counts = K.histogram_sorted(vecid, nvec,
+                                    weights=keep.astype(jnp.int32))
         indptr2 = jnp.concatenate(
             [jnp.zeros(1, jnp.int64), jnp.cumsum(counts)]).astype(INDEX)
         return cnt, indptr2, fidx, fv

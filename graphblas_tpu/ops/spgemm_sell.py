@@ -40,6 +40,8 @@ ESC path (ops/mxm.py), merged by row id into the same output.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -82,6 +84,7 @@ BIAS = np.int32(1) << 28   # segment-index payload bias
 JSENT = np.int64(2**31 - 1)
 PACKED_SENT = JSENT << 32
 FAR = np.int64(1) << 62    # pad value that always lands out of range
+WSENT = np.int64(1) << 62  # wide-mode packed-key sentinel (sorts last)
 
 # value dtypes carried natively (same contract as the round-2 tier)
 KDT = {
@@ -102,8 +105,8 @@ def eligible(sr, zt, n):
         return False
     if getattr(zt, "shape", None):
         return False
-    if n >= NMAX:
-        return False
+    if n >= (1 << 31) - 1:
+        return False     # columns beyond int32: wide mode covers < 2^31
     dt = np.dtype(zt.np_dtype)
     if dt in KDT:
         return True
@@ -292,7 +295,7 @@ def _pass1_fn(sig):
         return fn
     (S8, E_BLK, R_BLK, nblk, kdt_name, mode_av, logical, masked,
      mask_comp, n, monoid, mult, interpret, D_ALLOC, m,
-     reduce_scalar) = sig
+     reduce_scalar, wide) = sig
     kdt = jnp.dtype(kdt_name)
     D_BLOCK = S8 * SEGW
     need_av = mode_av in ("first", "general")
@@ -382,12 +385,44 @@ def _pass1_fn(sig):
                 prod = prod.astype(jnp.int32)
             ident = jnp.asarray(
                 monoid.identity_for(np.dtype(kdt_name)), prod.dtype)
-            key = jnp.where(valid, (rankf[:, None] << JB) | j,
-                            SRD.SENTINEL)
-            if _os.environ.get("GB_SELL_NOSORT"):     # perf-isolation knob
+            if wide:
+                # lexicographic (rank, column) planes: column keeps full
+                # int32 range (n < 2^31; round-4 ask #9)
+                kh = jnp.where(valid,
+                               jnp.broadcast_to(rankf[:, None],
+                                                (S8, SEGW)),
+                               SRD.SENTINEL)
+                kl = jnp.where(valid, j, SRD.SENTINEL)
+                if masked:
+                    tokf = (bseg >= nsegB_real)[:, None]
+                    prod = jnp.where(valid & ~tokf, prod, ident)
+                    tx = jnp.where(valid, jnp.where(tokf, 1, 2), 0) \
+                        .astype(jnp.int32).reshape(D_BLOCK // 128, 128)
+                else:
+                    prod = jnp.where(valid, prod, ident)
+                    tx = None
+                okh, okl, ov = SRD.sort_reduce_rows_wide(
+                    kh.reshape(D_BLOCK // 128, 128),
+                    kl.reshape(D_BLOCK // 128, 128),
+                    prod.reshape(D_BLOCK // 128, 128),
+                    TILE, monoid, toks=tx,
+                    want_token=not mask_comp, logical=logical,
+                    interpret=interpret)
+                if reduce_scalar:
+                    ok = okh        # kept test only needs the rank plane
+                else:
+                    ok = jnp.where(
+                        okh == SRD.SENTINEL, WSENT,
+                        (okh.astype(jnp.int64) << 32)
+                        | (okl.astype(jnp.int64) & LOW32))
+            elif _os.environ.get("GB_SELL_NOSORT"):   # perf-isolation knob
+                key = jnp.where(valid, (rankf[:, None] << JB) | j,
+                                SRD.SENTINEL)
                 ok = key.reshape(D_BLOCK // 128, 128)
                 ov = prod.reshape(D_BLOCK // 128, 128).astype(kdt)
             elif masked:
+                key = jnp.where(valid, (rankf[:, None] << JB) | j,
+                                SRD.SENTINEL)
                 tokf = (bseg >= nsegB_real)[:, None]
                 prod = jnp.where(valid & ~tokf, prod, ident)
                 tx = jnp.where(valid, jnp.where(tokf, 1, 2), 0) \
@@ -399,6 +434,8 @@ def _pass1_fn(sig):
                     TILE, monoid, want_token=not mask_comp,
                     logical=logical, interpret=interpret)
             else:
+                key = jnp.where(valid, (rankf[:, None] << JB) | j,
+                                SRD.SENTINEL)
                 prod = jnp.where(valid, prod, ident)
                 ok, ov = SRD.sort_reduce_rows(
                     key.reshape(D_BLOCK // 128, 128),
@@ -429,7 +466,10 @@ def _pass1_fn(sig):
             acc, _ = jax.lax.scan(
                 body, jnp.zeros((), jnp.int64), xs, length=nblk)
             return acc
-        OK = jnp.full((D_ALLOC,), SRD.SENTINEL, jnp.int32)
+        if wide:
+            OK = jnp.full((D_ALLOC,), WSENT, jnp.int64)
+        else:
+            OK = jnp.full((D_ALLOC,), SRD.SENTINEL, jnp.int32)
         OV = jnp.zeros((D_ALLOC,), kdt)
         (OK, OV), _ = jax.lax.scan(
             body, (OK, OV), xs, length=nblk)
@@ -452,16 +492,17 @@ def _pass1_fn(sig):
 # rounds, all vector ops otherwise.
 
 
-@jax.jit
-def _counts(OK, tb, rk, live):
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _counts(OK, tb, rk, live, jbits=JB, sent=int(SRD.SENTINEL)):
     """Per-row output counts and in-tile row start positions.
 
     tb: (m,) int32 tile base SLOT of each row; rk: (m,) int32 tile rank;
-    live: (m,) bool (row has fast-path slots)."""
+    live: (m,) bool (row has fast-path slots).  ``jbits``/``sent``: key
+    layout (JB-packed int32, or 32/WSENT in wide mode)."""
     D = OK.shape[0]
     kx = OK.reshape(D // TILE, TILE)
     kx = jax.lax.cummin(kx[:, ::-1], axis=1)[:, ::-1].reshape(-1)
-    kept = (OK != SRD.SENTINEL).astype(jnp.int32)
+    kept = (OK != sent).astype(jnp.int32)
     Sx = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                           jnp.cumsum(kept)])        # exclusive prefix
 
@@ -477,8 +518,8 @@ def _counts(OK, tb, rk, live):
             hi = jnp.where(lt, hi, mid)
         return lo                                    # first pos >= bound
 
-    lo_p = search(rk.astype(jnp.int64) << JB)
-    hi_p = search((rk.astype(jnp.int64) + 1) << JB)
+    lo_p = search(rk.astype(jnp.int64) << jbits)
+    hi_p = search((rk.astype(jnp.int64) + 1) << jbits)
     p_lo = tb + lo_p
     cnt = jnp.where(live, Sx[tb + hi_p] - Sx[p_lo], 0)
     return cnt, p_lo
@@ -488,14 +529,15 @@ def _counts(OK, tb, rk, live):
 # pass 2: placement into the exact-nnz output arrays
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _pass2(OK, OV, p_lo, live, indptr32, nnz_arr):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7))
+def _pass2(OK, OV, p_lo, live, indptr32, nnz_arr_n, jmask=(1 << JB) - 1,
+           sent=int(SRD.SENTINEL)):
     """Scatter kept run-end outputs into CSR order.  Each live row r
     contributes fill value indptr[r] - prefix_kept(p_lo[r]) at its
     in-tile start; values are monotone, so a cummax fill makes
     dest = fill + prefix_kept(slot) pure arithmetic."""
     D = OK.shape[0]
-    kept = (OK != SRD.SENTINEL).astype(jnp.int32)
+    kept = (OK != sent).astype(jnp.int32)
     Sx = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                           jnp.cumsum(kept)])        # exclusive prefix
     val = indptr32 - Sx[jnp.clip(p_lo, 0, D)]
@@ -504,10 +546,10 @@ def _pass2(OK, OV, p_lo, live, indptr32, nnz_arr):
     fill = jax.lax.cummax(
         jnp.full((D,), NEG, jnp.int32).at[pos].max(val, mode="drop"),
         axis=0)
-    nnz = nnz_arr.shape[0]
+    nnz = nnz_arr_n
     dest = jnp.where(kept == 1, fill + Sx[:-1], nnz)
     uidx = jnp.zeros((nnz,), INDEX).at[dest].set(
-        (OK & ((1 << JB) - 1)).astype(INDEX), mode="drop")
+        (OK & jmask).astype(INDEX), mode="drop")
     cv = jnp.zeros((nnz,), OV.dtype).at[dest].set(OV, mode="drop")
     return uidx, cv
 
@@ -702,10 +744,11 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
     }
 
     _sdbg("entry arrays", ent["runstartseg"])
+    wide = int(n) >= NMAX          # lexicographic 2-plane keys (ask #9)
     sig = (S8, E_BLK, R_BLK, nblk_pad, kdt_name, mode_av, logical,
            masked, bool(desc.mask_complement) if masked else False,
            int(n), sr.add, sr.mult, bool(interpret), D_ALLOC, int(m),
-           bool(reduce_scalar))
+           bool(reduce_scalar), wide)
     run = _pass1_fn(sig)
     if reduce_scalar:
         acc = run(tblj, tblv, ent, tokd, rows_dev, blocks)
@@ -720,7 +763,9 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
     tb_rows = jnp.asarray(
         ((starts_h[:m] * SEGW) // TILE * TILE).astype(np.int32))
     live = jnp.asarray(row_load_h > 0)
-    counts, p_lo = _counts(OK, tb_rows, rank_d, live)
+    jbits = 32 if wide else JB
+    sent = int(WSENT) if wide else int(SRD.SENTINEL)
+    counts, p_lo = _counts(OK, tb_rows, rank_d, live, jbits, sent)
     _sdbg("counts", counts)
 
     # ---- fallback rows (classic argsort ESC) ------------------------------
@@ -736,9 +781,10 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
     nnz_tot = int(indptr[-1])
     _sdbg("indptr sync")
 
+    jmask = (1 << 32) - 1 if wide else (1 << JB) - 1
     uidx, cv = _pass2(OK, OV, p_lo, live,
                       indptr[:-1].astype(jnp.int32),
-                      jnp.zeros((nnz_tot,), jnp.int8))
+                      nnz_tot, jmask, sent)
     if fb_out is not None:
         fb_counts, fb_uvec, fb_uidx, fb_cv = fb_out
         k_in = jnp.arange(fb_uidx.shape[0], dtype=jnp.int64)
