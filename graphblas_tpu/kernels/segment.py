@@ -32,14 +32,19 @@ KEY = jnp.int64  # combined (i, j) sort key: i * ncols + j
 
 def expand_rowids(indptr, nnz: int, nvec: int):
     """Vector id of each stored entry, from the CSR/CSC pointer array.
-    (reference: implicit in every ek_slice'd kernel)."""
+    (reference: implicit in every ek_slice'd kernel).
+
+    Marks+cumsum formulation: +1 at each interior row start, inclusive
+    scan (round-4: jnp.repeat measured 332 ms at 16.7M on v5e, this is
+    ~0.1 s; scatter positions collide only at empty-row runs, bounded by
+    nvec not nnz)."""
     if nnz == 0:
         return jnp.zeros(0, indptr.dtype)
     if nvec == 0:
         return jnp.zeros(nnz, indptr.dtype)
-    counts = jnp.diff(indptr)
-    return jnp.repeat(jnp.arange(nvec, dtype=indptr.dtype), counts,
-                      total_repeat_length=nnz)
+    marks = jnp.zeros((nnz,), jnp.int32).at[indptr[1:-1]].add(
+        1, mode="drop")
+    return jnp.cumsum(marks).astype(indptr.dtype)
 
 
 def indptr_from_sorted(vec_ids, nvec: int, dtype=jnp.int32):
