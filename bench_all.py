@@ -20,15 +20,17 @@ SYNC_FLOOR_S = 0.0286
 # reference measured on this host (1 core, COMPACT build, runtime JIT) —
 # regenerate with: gcc experiments/bench_ref.c + /tmp/bench_graph.bin
 REF_1CORE = {
-    # 2026-08-18 rerun, solo on the core with the reference's JIT kernel
-    # cache warm (the first-round numbers included JIT compiles and ran
-    # under contention: spmv 0.1313, bfs 0.2761, pr 0.3229, tc 4.2298,
-    # spgemm 201.7 — kept the FASTER measurements for honesty)
-    "spmv_s": 0.0926, "bfs_s": 0.1671, "pagerank_iter_s": 0.1610,
-    "triangle_count_s": 1.8647, "spgemm_s": 54.62, "ntri": 647,
+    # 2026-08-20 (round 4) rerun on an idle host, COMPACT build + warm
+    # runtime-JIT cache, TWO solo runs, per-op MINIMUM taken (the
+    # reference's most favorable measurement — same policy as round 3,
+    # which recorded slower numbers under contention: tc 1.865,
+    # spgemm 54.6, spmv 0.0926, transpose 0.625, extract 1.940)
+    "build_s": 0.2545,
+    "spmv_s": 0.0544, "bfs_s": 0.1445, "pagerank_iter_s": 0.1053,
+    "triangle_count_s": 1.0761, "spgemm_s": 30.30, "ntri": 647,
     "spgemm_cnnz": 268406919,
-    "spmm_dense4_s": 0.2446, "spmspv_s": 0.0077,
-    "transpose_s": 0.6245, "ewiseadd_s": 0.6760, "extract_perm_s": 1.9404,
+    "spmm_dense4_s": 0.1614, "spmspv_s": 0.0074,
+    "transpose_s": 0.4700, "ewiseadd_s": 0.6963, "extract_perm_s": 1.4407,
     "ewiseadd_cnnz": 33553873,
 }
 REF_PUBLISHED_SPMV_GNNZ_S = 0.61     # GAP-twitter, 20-core Xeon
@@ -188,6 +190,22 @@ def main():
     def _vs(key, s):
         r = REF_1CORE.get(key)
         return round(r / s, 2) if r else None
+
+    # ---- Build C = from_coo (the GB_builder analog; reference builds
+    # CSR from tuples in ~0.5 s on this host).  The route plan above is
+    # the hyper-hash analog (optional acceleration), NOT the builder.
+    coo_r = np.asarray(S.tocoo().row)
+    coo_c = np.asarray(S.tocoo().col)
+    coo_v = np.asarray(S.data)
+    Ab = gb.Matrix.from_coo(coo_r, coo_c, coo_v, (n, n))      # warm
+    _ = float(np.asarray(jnp.sum(Ab.values)))
+    t0 = time.perf_counter()
+    Ab = gb.Matrix.from_coo(coo_r, coo_c, coo_v, (n, n))
+    _ = float(np.asarray(jnp.sum(Ab.values)))
+    bld_s = max(time.perf_counter() - t0 - SYNC_FLOOR_S, 1e-6)
+    out["build"] = {"s": round(bld_s, 4),
+                    "vs_ref_this_host": _vs("build_s", bld_s)}
+    print(json.dumps({"config": "build", **out["build"]}), flush=True)
 
     # ---- SpMSpV y = x*S, x 1% dense (dobench row: y=x*S) ---------------
     xi = np.arange(0, n, 100, dtype=np.int64)
