@@ -110,6 +110,23 @@ def build_matrix(cls, rows, cols, vals, shape, dtype, dup, orient, iso):
                      jnp.zeros((0,) + dt.shape, dt.np_dtype), False)
         return out
 
+    fast = (not ts and not iso and dup.name in _DUP_MONOIDS
+            and K._ride_encode(vals_arr)[0] is not None)
+    if fast:
+        # fused builder (round-4): ONE jitted sort-with-payload phase,
+        # one ng sync, one jitted dedup/indptr phase — the eager
+        # argsort+gather chain cost ~6 s at 16.7M through the tunnel
+        # (the reference's 5-step GB_builder as two dispatches)
+        ph1 = _build_phase1_fn(veclen)
+        skeys, svals, ng_d = ph1(vec_ids, idx, vals_arr)
+        ng = int(ng_d)
+        ph2 = _build_phase2_fn(nvec, veclen, _DUP_MONOIDS[dup.name],
+                               jnp.dtype(vals_arr.dtype))
+        indptr, uidx, out_vals = ph2(skeys, svals)
+        out = object.__new__(cls)
+        _init_sparse(out, shape, dt, orient, indptr, uidx[:ng],
+                     out_vals[:ng], False)
+        return out
     order, skeys = K.sort_coo(vec_ids, idx, veclen)
     gid, ng = K.group_ids(skeys)
     svals = vals_arr[order]
@@ -125,6 +142,62 @@ def build_matrix(cls, rows, cols, vals, shape, dtype, dup, orient, iso):
                  jnp.asarray(vals).reshape((-1,) + dt.shape)[:1]
                  .astype(dt.np_dtype) if iso else out_vals, iso)
     return out
+
+
+_build_jits: dict = {}
+
+
+def _build_phase1_fn(veclen: int):
+    """Jitted: pack keys, ONE fused sort with the values riding, count
+    groups (the builder's copy+sort+count steps)."""
+    import jax
+    key = ("p1", veclen)
+    fn = _build_jits.get(key)
+    if fn is None:
+        def run(vec_ids, idx, vals):
+            keys = K.make_key(vec_ids, idx, veclen)
+            skeys, svals = K.sort_with_payload(keys, vals)
+            is_new = jnp.concatenate(
+                [jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
+            return skeys, svals, jnp.sum(is_new.astype(jnp.int64))
+
+        fn = jax.jit(run)
+        _build_jits[key] = fn
+    return fn
+
+
+def _build_phase2_fn(nvec: int, veclen: int, mon, vdt):
+    """Jitted: dedup under the monoid + unique keys + indptr, all via
+    sorted segment ops; outputs at input length, caller slices [:ng]."""
+    import jax
+    key = ("p2", nvec, veclen, mon, vdt)
+    fn = _build_jits.get(key)
+    if fn is None:
+        def run(skeys, svals):
+            n = skeys.shape[0]
+            is_new = jnp.concatenate(
+                [jnp.ones(1, bool), skeys[1:] != skeys[:-1]])
+            gid = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+            out_vals = K.segment_reduce(svals, gid, n, mon)
+            ukeys = jax.ops.segment_max(skeys, gid, n,
+                                        indices_are_sorted=True)
+            uvec = (ukeys // veclen).astype(jnp.int32)
+            uidx = (ukeys % veclen).astype(INDEX)
+            # empty tail groups of segment_max carry -inf-class values;
+            # count only real groups (weights = per-position new flags)
+            counts = K.histogram_sorted(
+                (skeys // veclen).astype(jnp.int32), nvec,
+                weights=is_new.astype(jnp.int32))
+            indptr = jnp.concatenate(
+                [jnp.zeros(1, jnp.int64),
+                 jnp.cumsum(counts)]).astype(INDEX)
+            return indptr, uidx, out_vals
+
+        fn = jax.jit(run)
+        if len(_build_jits) > 64:
+            _build_jits.clear()
+        _build_jits[key] = fn
+    return fn
 
 
 def _init_sparse(obj, shape, dt, orient, indptr, indices, values, iso):
