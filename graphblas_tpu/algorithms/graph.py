@@ -179,12 +179,22 @@ def _routed_pr_fn(n: int, damping: float, tol: float, max_iter: int):
         teleport = jnp.float32((1.0 - damping) / n)
         sdeg = jnp.where(deg_arr > 0, deg_arr, 1.0)
 
-        def body(state):
-            r, it, delta = state
+        def step(r):
             w = r / sdeg
             rn = SPRT.spmv_route(w, pln)
             dangling = jnp.sum(jnp.where(deg_arr > 0, 0.0, r))
-            rn = jnp.float32(damping) * (rn + dangling / n) + teleport
+            return jnp.float32(damping) * (rn + dangling / n) + teleport
+
+        if tol <= 0:
+            # fixed iteration count: fori_loop, no convergence reduction
+            # (a while_loop's per-iteration cond costs real wall time on
+            # this backend)
+            r = jax.lax.fori_loop(0, max_iter, lambda i, r: step(r), r0)
+            return r, jnp.int32(max_iter), jnp.float32(0)
+
+        def body(state):
+            r, it, delta = state
+            rn = step(r)
             return rn, it + 1, jnp.sum(jnp.abs(rn - r))
 
         def cond(state):
