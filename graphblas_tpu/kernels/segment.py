@@ -423,6 +423,9 @@ def _merge_ride_phase1(keysA, bitsA, keysB, bitsB, w):
     return ng, sk, sa, sb
 
 
+_umr_jits: dict = {}
+
+
 def union_merge_raw(keysA, valsA, keysB, valsB, key_bound=None):
     """Phase-1-only union merge: returns (ng, sk, sa, sb, w) with the
     SORTED raw planes (sk packs key<<2 | a_in | b_in<<1; entries past ng
@@ -430,17 +433,31 @@ def union_merge_raw(keysA, valsA, keysB, valsB, key_bound=None):
     into one jitted finisher (round-4: the eager decode tail cost more
     in per-op tunnel dispatches than the merge itself).  Returns None
     when the payload cannot bit-ride (struct/complex) — use
-    ``union_merge``."""
-    bitsA, wA = _ride_encode(valsA)
-    bitsB, wB = _ride_encode(valsB)
-    if bitsA is None or bitsB is None \
+    ``union_merge``.  The ride-encode runs INSIDE the jit (one
+    dispatch for the whole phase)."""
+    # dtype probe only (no device work: _ride_encode on a 0-d slice)
+    bA, wA = _ride_encode(valsA[:0])
+    bB, wB = _ride_encode(valsB[:0])
+    if bA is None or bB is None \
             or (key_bound is not None and key_bound >= (1 << 61)):
         return None
     w = max(wA, wB)
-    if w == 64:
-        bitsA = bitsA.astype(jnp.int64)
-        bitsB = bitsB.astype(jnp.int64)
-    ng, sk, sa, sb = _merge_ride_phase1(keysA, bitsA, keysB, bitsB, w)
+    jk = (w, jnp.dtype(valsA.dtype), jnp.dtype(valsB.dtype))
+    fn = _umr_jits.get(jk)
+    if fn is None:
+        def run(ka, va, kb, vb):
+            ba, _ = _ride_encode(va)
+            bb, _ = _ride_encode(vb)
+            if w == 64:
+                ba = ba.astype(jnp.int64)
+                bb = bb.astype(jnp.int64)
+            return _merge_ride_phase1(ka, ba, kb, bb, w)
+
+        fn = jax.jit(run)
+        if len(_umr_jits) > 32:
+            _umr_jits.clear()
+        _umr_jits[jk] = fn
+    ng, sk, sa, sb = fn(keysA, valsA, keysB, valsB)
     return int(ng), sk, sa, sb, w
 
 
