@@ -155,10 +155,18 @@ def _routed_bfs_fn(n: int):
             return jnp.any(f > 0)
 
         def body(state):
+            # 4 levels per while iteration: the loop's per-iteration
+            # cond evaluation costs ~10+ ms wall on this backend, the
+            # SpMV itself ~4 ms; steps past the last frontier are no-ops
+            # (an empty frontier expands to nothing), so over-stepping
+            # only wastes at most 3 cheap empty expansions
             levels, f, depth = state
-            nxt = (SPRT.spmv_route(f, pln) > 0) & (levels < 0)
-            levels = jnp.where(nxt, depth + 1, levels)
-            return levels, nxt.astype(jnp.float32), depth + 1
+            for _ in range(4):
+                nxt = (SPRT.spmv_route(f, pln) > 0) & (levels < 0)
+                depth = depth + 1
+                levels = jnp.where(nxt, depth, levels)
+                f = nxt.astype(jnp.float32)
+            return levels, f, depth
 
         levels, _, _ = jax.lax.while_loop(
             cond, body, (levels0, f0, jnp.int32(0)))
