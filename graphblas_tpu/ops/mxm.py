@@ -238,7 +238,8 @@ def _spmspv_fn(Fb, m, add_name, mult, zt_name, logical):
             else:                       # MAX / LOR / ANY
                 y = acc.at[tgt].max(fill, mode="drop")
             y = jnp.where(pres, y, 0)
-        return y, pres
+        # column shapes emitted here so the op is ONE dispatch end to end
+        return y[:, None], pres[:, None]
 
     fn = jax.jit(run)
     _spmspv_cache[key] = fn
@@ -286,8 +287,7 @@ def _spmspv_scatter(u, A, sr, zt):
     ident = jnp.asarray(sr.add.identity_for(
         np.int32 if logical else zt.np_dtype))
     y, pres = fn(ui, uv, aip, A.indices, A._vals_expanded(), cumf, ident)
-    return Vector(m, zt, BITMAP, values=cast(y, zt)[:, None],
-                  bitmap=pres[:, None])
+    return Vector(m, zt, BITMAP, values=cast(y, zt), bitmap=pres)
 
 
 # ---------------------------------------------------------------------------
