@@ -63,6 +63,10 @@ def build_matrix(cls, rows, cols, vals, shape, dtype, dup, orient, iso):
     from ..core import config as CFG
     orient = orient or CFG.GLOBAL.format_default
     nrows, ncols = int(shape[0]), int(shape[1])
+    # bounds check BEFORE upload, on the host-side input when available
+    # (round-4: checking the device copy pulled 2x8 B/nnz back through
+    # the ~15-70 MB/s tunnel — most of a 16.7M build's wall time)
+    rows_in, cols_in = rows, cols
     rows = jnp.asarray(rows, INDEX).reshape(-1)
     cols = jnp.asarray(cols, INDEX).reshape(-1)
     n = rows.shape[0]
@@ -88,7 +92,11 @@ def build_matrix(cls, rows, cols, vals, shape, dtype, dup, orient, iso):
 
     # bounds check (host-side; skipped for traced inputs)
     try:
-        rnp, cnp = np.asarray(rows), np.asarray(cols)
+        if isinstance(rows_in, (np.ndarray, list, tuple, range)):
+            rnp = np.asarray(rows_in).reshape(-1)
+            cnp = np.asarray(cols_in).reshape(-1)
+        else:
+            rnp, cnp = np.asarray(rows), np.asarray(cols)
     except Exception:
         rnp = cnp = None
     if rnp is not None and rnp.size:
