@@ -738,12 +738,20 @@ def _spgemm_esc_impl(A, B, sr, zt, mask, desc, accum,
     if tier == "sell" and SGS.eligible(sr, zt, n) \
             and not (interp and F > (1 << 20)):
         ip_h = np.asarray(Ar.indptr).astype(np.int64)
-        cumf_h = np.asarray(cumf)
-        row_cum = cumf_h[ip_h]
+        # row_cum needs the FULL cumf on the host (8 B/nnz back through
+        # the tunnel — ~2 s at bench scale); fetch it lazily, only when
+        # fallback rows actually exist (round-4)
+        _rc = []
+
+        def _row_cum():
+            if not _rc:
+                _rc.append(np.asarray(cumf)[ip_h])
+            return _rc[0]
 
         def classic_rows(rows):
             """Over-cap rows via classic argsort ESC.  rows: global np
             row ids (ascending).  Returns (counts, uvec, uidx, cv)."""
+            row_cum = _row_cum()
             p_parts = [np.arange(row_cum[r], row_cum[r + 1])
                        for r in rows]
             p_fb = jnp.asarray(np.concatenate(p_parts))
