@@ -279,6 +279,102 @@ def sort_reduce_rows(keys, vals, C, monoid, *, logical=False,
     return ok, ov
 
 
+def _sort_pair1_body(kx, C, SB, want_token):
+    """1-plane masked PAIR counter (round-4; TC's hot kernel).
+
+    kx packs (rank << (jb+1)) | (column << 1) | is_product.  Mask tokens
+    are UNIQUE per (rank, column) (mask patterns are duplicate-free), so
+    after the ascending sort a product run's token twin — if present —
+    sits immediately before the run start with key == run_key - 1.  The
+    twin bit is detected post-sort from adjacency and rides the COUNT
+    plane at bit 20 (run lengths < C <= 2^20), so the whole kernel moves
+    TWO planes (key + count) instead of key + value + token."""
+    posC = _posC(kx.shape, C)
+    logC = C.bit_length() - 1
+    for k in range(1, logC + 1):
+        bit_k = (posC >> k) & 1 if k < logC \
+            else jnp.zeros(kx.shape, jnp.int32)
+        for j in range(k - 1, -1, -1):
+            d = 1 << j
+            pk = _xor_partner(kx, d, SB)
+            bit_d = (posC >> j) & 1
+            take_min = bit_k == bit_d
+            lt_i = (pk < kx).astype(jnp.int32)
+            gt_i = (pk > kx).astype(jnp.int32)
+            swap = jnp.where(take_min, lt_i, gt_i) != 0
+            kx = jnp.where(swap, pk, kx)
+    # post-sort: per-slot count init (products = 1) + twin bit at starts
+    TWIN = jnp.int32(1) << 20
+    is_prod = (kx & 1)                      # sentinel is odd but huge
+    prev_k = _flat_shift(kx, 1, SB)
+    start_i = (((posC == 0).astype(jnp.int32)
+                + (kx != prev_k).astype(jnp.int32)) != 0).astype(jnp.int32)
+    twin = (start_i != 0) & (prev_k == kx - 1) & (posC != 0)
+    v = is_prod * jnp.where(kx == SENTINEL, 0, 1) \
+        + jnp.where(twin, TWIN, 0)
+    f = start_i
+    s = 1
+    while s < C:
+        v_in = _flat_shift(v, s, SB)
+        f_in = _flat_shift(f, s, SB)
+        beyond_i = (posC < s).astype(jnp.int32)
+        stop = (f | beyond_i) != 0
+        v = jnp.where(stop, v, v_in + v)
+        f = f | f_in | beyond_i
+        s *= 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, kx.shape, 1)
+    lu = pltpu.roll(kx, 127, 1)
+    su = pltpu.roll(lu, SB - 1, 0)
+    next_k = jnp.where(lane == 127, su, lu)
+    run_end = (posC == C - 1) | (kx != next_k)
+    cnt = v & (TWIN - 1)
+    has_twin = (v & TWIN) != 0
+    keep = run_end & (kx != SENTINEL) & (is_prod != 0) & (cnt > 0)
+    keep = keep & (has_twin if want_token else ~has_twin)
+    return jnp.where(keep, cnt, 0)
+
+
+@functools.lru_cache(maxsize=16)
+def _kernel_fn_pair1(C, SB, want_token, interpret):
+    def kernel(k_ref, ov_ref):
+        ov_ref[:] = _sort_pair1_body(k_ref[:], C, SB, want_token)
+
+    grid_blk = pl.BlockSpec((SB, 128), lambda i: (i, 0))
+
+    def run(keys):
+        S = keys.shape[0]
+        nblk = S // SB
+        f = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[grid_blk],
+            out_specs=[grid_blk],
+            out_shape=[jax.ShapeDtypeStruct((S, 128), jnp.int32)],
+            interpret=bool(interpret))
+        with jax.enable_x64(False):
+            return f(keys)[0]
+
+    return jax.jit(run)
+
+
+def sort_reduce_pair1(keys, C, *, want_token=True, interpret=False):
+    """Masked PAIR count kernel: returns per-slot counts (kept run ends
+    hold the product count, everything else 0); see _sort_pair1_body."""
+    C = int(C)
+    S = keys.shape[0]
+    row_sub = max(C // 128, 1)
+    SB = row_sub * max(1, 512 // row_sub)
+    pad = (-S) % SB
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jnp.full((pad, 128), SENTINEL, jnp.int32)])
+    fn = _kernel_fn_pair1(C, SB, bool(want_token), bool(interpret))
+    ov = fn(keys)
+    if pad:
+        ov = ov[:S]
+    return ov
+
+
 @functools.lru_cache(maxsize=64)
 def _kernel_fn_wide(C, SB, monoid, val_dtype_name, logical, tok,
                     want_token, interpret):

@@ -299,6 +299,10 @@ def _pass1_fn(sig):
     kdt = jnp.dtype(kdt_name)
     D_BLOCK = S8 * SEGW
     need_av = mode_av in ("first", "general")
+    # 1-plane masked PAIR counter: needs the flag bit inside the packed
+    # key (j < 2^22) and the fused-reduce output shape
+    pair1 = (reduce_scalar and masked and mode_av == "pair"
+             and not wide and not logical and n < (1 << 22))
 
     def run(tblj, tblv, ent, tok, rows, blocks):
         tblN = tblj.shape[0]
@@ -385,6 +389,24 @@ def _pass1_fn(sig):
                 prod = prod.astype(jnp.int32)
             ident = jnp.asarray(
                 monoid.identity_for(np.dtype(kdt_name)), prod.dtype)
+            if pair1:
+                # 1-plane masked PAIR counter (TC hot path): flag bit in
+                # the key, counts from run lengths, twin detection from
+                # post-sort adjacency — no value or token planes
+                tokf = (bseg >= nsegB_real)[:, None]
+                flag = jnp.where(tokf, 0, 1)
+                key = jnp.where(valid,
+                                (rankf[:, None] << JB) | (j << 1) | flag,
+                                SRD.SENTINEL)
+                ov = SRD.sort_reduce_pair1(
+                    key.reshape(D_BLOCK // 128, 128), TILE,
+                    want_token=not mask_comp, interpret=interpret)
+                slot_i = jax.lax.broadcasted_iota(
+                    jnp.int32, ov.shape, 0) * 128 + \
+                    jax.lax.broadcasted_iota(jnp.int32, ov.shape, 1)
+                part = jnp.sum(jnp.where(slot_i < own * SEGW, ov,
+                                         0).astype(jnp.int64))
+                return ACC + part, 0
             if wide:
                 # lexicographic (rank, column) planes: column keeps full
                 # int32 range (n < 2^31; round-4 ask #9)
