@@ -54,3 +54,18 @@ def test_fused_declines_float():
     A = gb.Matrix.from_scipy(S)
     # float ztype: fused path declines (int-exact accumulators only)
     assert mxm_reduce_scalar(A, A, SR.PLUS_TIMES) is None
+
+
+@pytest.mark.parametrize("comp", [True, False])
+def test_fused_masked_complement(comp):
+    """pair1 kernel's want_token branches (round-4 1-plane counter)."""
+    S = _rand(180, 1300, 5)
+    A = gb.Matrix.from_scipy(S)
+    M = gb.select(A, gb.operators.TRIL, -1)
+    d = Descriptor(mask_structure=True, mask_complement=comp,
+                   transpose1=True)
+    acc = mxm_reduce_scalar(M, M, SR.PLUS_PAIR, mask=M, desc=d)
+    C = gb.mxm(M, M, SR.PLUS_PAIR, mask=M, desc=d, out_dtype=T.INT64)
+    want = int(gb.reduce_scalar(C, MON.PLUS, out_dtype=T.INT64))
+    assert acc is not None
+    assert int(acc) == want
