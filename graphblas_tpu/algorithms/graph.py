@@ -332,7 +332,11 @@ def triangle_count(A: Matrix) -> int:
     from ..ops.transpose import logical_transpose
     # derived-structure cache per input pattern (the hyper-hash idiom,
     # reference GB_hyper_hash_build.c: build once, reuse while the
-    # pattern lives): repeat counts skip the select + reorient entirely
+    # pattern lives): repeat counts skip the select + reorient entirely.
+    # NOTE (ADVICE r4): the key is PATTERN identity only, so the cached
+    # L/LT may carry the first-seen VALUES — valid here because PLUS_PAIR
+    # is structural (values ignored); do not reuse this cache for any
+    # value-dependent computation without adding id(A.values) to the key.
     ck = (id(A.indptr), id(A.indices))
     ent = _tc_cache.get(ck)
     if ent is not None and ent[0] is A.indptr and ent[1] is A.indices:

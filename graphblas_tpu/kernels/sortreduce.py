@@ -361,6 +361,9 @@ def sort_reduce_pair1(keys, C, *, want_token=True, interpret=False):
     """Masked PAIR count kernel: returns per-slot counts (kept run ends
     hold the product count, everything else 0); see _sort_pair1_body."""
     C = int(C)
+    # the twin flag lives at bit 20 of the count plane: product-run
+    # lengths (< C) and the flag must not collide (ADVICE r4)
+    assert C <= (1 << 20), "sort_reduce_pair1: C exceeds the TWIN-bit budget"
     S = keys.shape[0]
     row_sub = max(C // 128, 1)
     SB = row_sub * max(1, 512 // row_sub)

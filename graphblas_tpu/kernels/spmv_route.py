@@ -374,6 +374,60 @@ def _fill_balanced(perm, T, slots):
     return perm
 
 
+def _compose_plan_planes(plan):
+    """Fold the two interior lane gathers out of the executor (round-5
+    router diet, experiments/ROOFLINE_BUDGET.md):
+
+      * phase-1's INPUT lane gather ``ii1`` is a per-row lane permutation
+        of the same rows the ``hi``/``val`` plan planes live on — apply it
+        to those planes at PLAN time (hi' = hi[r, ii1[r]], same for val),
+        and the executor's first take_along_axis disappears;
+      * phase-1's OUTPUT lane gather ``io1`` and phase-2's INPUT gather
+        ``ii2`` act back-to-back on each physical mid row (the row passes
+        through HBM unchanged between the phases, only re-blocked), so
+        they compose into one plane: ii2'[r2] = io1[r1][ii2[r2]].
+
+    take_along_axis is the slowest primitive in the engine (~185 Gelem/s
+    vs ~920 for a roll+select stage, experiments/calib.py): dropping 2 of
+    the 6 per-slot gathers is ~9%% of the SpMV.  Row mapping for the
+    compose: dest tile t', local row r2 = s*rows_pp + j  <->  phase-1
+    grid s, out row t'*rows_pp + j  (the mid4 (T,1,rows_pp,128) BlockSpec
+    read in ``spmv_route``)."""
+    gp, gs = plan.gp, plan.g
+    if gp.ii1 is None:
+        return                               # already composed
+    T, R1, R2, rows_pp = gp.T, gp.R1, gp.R2, gp.rows_pp
+    TR = getattr(gp, "TR", SRT.TILE_R)
+    ii1 = np.asarray(gp.ii1).astype(np.int32)
+    io1 = np.asarray(gp.io1)
+    ii2 = np.asarray(gp.ii2)
+    # --- hi/val <- ii1 ----------------------------------------------------
+    hi = np.asarray(gs.hi)
+    val = np.asarray(gs.val)
+    G = hi.shape[0]                          # W * RBL gather rows
+    g = np.arange(G, dtype=np.int64)
+    i1rows = (g // TR) * R1 + (g % TR)       # per-row lane map of row g
+    sel = ii1[i1rows]
+    gs.hi = jnp.asarray(np.take_along_axis(hi, sel, axis=1))
+    gs.val = jnp.asarray(np.take_along_axis(val, sel, axis=1))
+    if getattr(gs, "val_lo", None) is not None:
+        gs.val_lo = jnp.asarray(
+            np.take_along_axis(np.asarray(gs.val_lo), sel, axis=1))
+    # --- ii2 <- io1 -------------------------------------------------------
+    npp = T * rows_pp
+    tp = np.repeat(np.arange(T, dtype=np.int64), npp)     # dest tile
+    r2 = np.tile(np.arange(npp, dtype=np.int64), T)
+    src_row = (r2 // rows_pp) * R1 + tp * rows_pp + (r2 % rows_pp)
+    ii2_live = ii2.reshape(T, R2, 128)[:, :npp, :].reshape(-1, 128)
+    comp = np.take_along_axis(io1[src_row],
+                              ii2_live.astype(np.int32), axis=1)
+    ii2n = np.array(ii2.reshape(T, R2, 128))
+    ii2n[:, :npp, :] = comp.reshape(T, npp, 128)
+    gp.ii2 = jnp.asarray(ii2n.reshape(T * R2, 128))
+    gp.ii1 = None
+    gp.io1 = None
+
+
 ROW_CAP = SRT.TILE_R * 64     # split rows beyond this into sub-rows
 
 
@@ -564,6 +618,8 @@ class SpmvRoutePlan:
                        subrow[:, 0].max() + 1))
         self.cg_stages = 0 if need <= 1 else int(np.ceil(np.log2(need)))
         _dbg("exact-reduce side data done")
+        _compose_plan_planes(self)
+        _dbg("gather compose done")
 
 
 # ---------------------------------------------------------------------------
@@ -714,7 +770,9 @@ def _plan_blob(plan):
     for k in _GP_SCALARS:
         blob["gp_" + k] = np.int64(getattr(plan.gp, k))
     for k in _GP_ARRAYS:
-        blob["gp_" + k] = np.asarray(getattr(plan.gp, k))
+        v = getattr(plan.gp, k)
+        if v is not None:            # ii1/io1 are plan-composed away
+            blob["gp_" + k] = np.asarray(v)
     blob["gp_dists1"] = np.asarray(plan.gp.dists1, np.int64)
     blob["gp_dists2"] = np.asarray(plan.gp.dists2, np.int64)
     for k in ("W", "Wv", "RB", "RBL", "n", "nnz"):
@@ -766,7 +824,10 @@ def load_plan(path) -> "SpmvRoutePlan":
     for k in _GP_SCALARS:
         setattr(gp, k, int(z["gp_" + k]))
     for k in _GP_ARRAYS:
-        setattr(gp, k, jnp.asarray(z["gp_" + k]))
+        try:
+            setattr(gp, k, jnp.asarray(z["gp_" + k]))
+        except (KeyError, FileNotFoundError):
+            setattr(gp, k, None)     # composed-format blob: no ii1/io1
     gp.dists1 = tuple(int(d) for d in z["gp_dists1"])
     gp.dists2 = tuple(int(d) for d in z["gp_dists2"])
     plan.gp = gp
@@ -796,6 +857,7 @@ def load_plan(path) -> "SpmvRoutePlan":
         plan.lastidx8 = None
         plan.samerow8 = None
         plan.cg_stages = 0
+    _compose_plan_planes(plan)   # no-op on composed-format blobs
     return plan
 
 
@@ -905,12 +967,14 @@ def _phase2ext_exact_kernel(x_ref, ii_ref, bits_ref, io_ref,
     y_ref[:] = sel - jnp.where(sr_ref[:].astype(jnp.int32) != 0, prev, 0.0)
 
 
-def _gather_phase1_kernel(xt_ref, hi_ref, val_ref, ii_ref, bits_ref,
-                          io_ref, y_ref, *, dists, R, rows_in, rows_out):
+def _gather_phase1_kernel(xt_ref, hi_ref, val_ref, bits_ref,
+                          y_ref, *, dists, R, rows_in, rows_out):
     """Fused stage A + phase 1: products never round-trip through HBM
     (saves 8 B/slot of traffic — the single largest block after the plan
     arrays).  Valid when every route tile maps into one gather window
-    (RBL % TR == 0) and the gather domain covers the route domain."""
+    (RBL % TR == 0) and the gather domain covers the route domain.
+    The phase-1 lane gathers are plan-composed away (ii1 folded into
+    hi/val, io1 into phase-2's ii2 — see _compose_plan_planes)."""
     xt = xt_ref[:]                               # (128,128) window strip
     tab = jnp.tile(xt, (rows_in // 128, 1))      # row s -> residue s % 128
     g = jnp.take_along_axis(tab, hi_ref[:].astype(jnp.int32), axis=1)
@@ -918,9 +982,19 @@ def _gather_phase1_kernel(xt_ref, hi_ref, val_ref, ii_ref, bits_ref,
     if rows_in < R:
         x = jnp.concatenate(
             [x, jnp.zeros((R - rows_in, 128), x.dtype)], axis=0)
-    x = jnp.take_along_axis(x, ii_ref[:].astype(jnp.int32), axis=1)
     x = SRT._benes_stages(x, bits_ref[:], dists, R)
-    x = jnp.take_along_axis(x, io_ref[:].astype(jnp.int32), axis=1)
+    y_ref[:] = x[:rows_out, :]
+
+
+def _phase1_noii_kernel(x_ref, bits_ref, y_ref, *, dists, R, rows_in,
+                        rows_out):
+    """Unfused phase 1 on a pre-gathered product array whose lanes already
+    carry the ii1 permutation (plan-composed into hi/val)."""
+    x = x_ref[:]
+    if rows_in < R:
+        x = jnp.concatenate(
+            [x, jnp.zeros((R - rows_in, 128), x.dtype)], axis=0)
+    x = SRT._benes_stages(x, bits_ref[:], dists, R)
     y_ref[:] = x[:rows_out, :]
 
 
@@ -976,10 +1050,11 @@ def _ds_add(h1, l1, h2, l2):
 
 
 def _gather_phase1_ds_kernel(xth_ref, xtl_ref, hi_ref, vh_ref, vl_ref,
-                             ii_ref, bits_ref, io_ref, yh_ref, yl_ref,
+                             bits_ref, yh_ref, yl_ref,
                              *, dists, R, rows_in, rows_out):
     """Fused gather + TwoProd + phase-1 route on (hi, lo) planes.  The
-    plan blocks (hi/ii/bits/io) load ONCE and route both planes."""
+    plan blocks (hi/bits) load ONCE and route both planes; the phase-1
+    lane gathers are plan-composed away (see _compose_plan_planes)."""
     idx = hi_ref[:].astype(jnp.int32)
     reps = rows_in // 128
     gh = jnp.take_along_axis(jnp.tile(xth_ref[:], (reps, 1)), idx, axis=1)
@@ -992,9 +1067,7 @@ def _gather_phase1_ds_kernel(xth_ref, xtl_ref, hi_ref, vh_ref, vl_ref,
         if rows_in < R:
             x = jnp.concatenate(
                 [x, jnp.zeros((R - rows_in, 128), x.dtype)], axis=0)
-        x = jnp.take_along_axis(x, ii_ref[:].astype(jnp.int32), axis=1)
-        x = SRT._benes_stages(x, bits_ref[:], dists, R)
-        return jnp.take_along_axis(x, io_ref[:].astype(jnp.int32), axis=1)
+        return SRT._benes_stages(x, bits_ref[:], dists, R)
 
     yh_ref[:] = route(ph)[:rows_out, :]
     yl_ref[:] = route(pl_)[:rows_out, :]
@@ -1121,10 +1194,6 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((R1, 128), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((R1, 128), lambda t: (t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((R1, 128), lambda t: (t, 0),
-                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((T2 * rows_pp, 128), lambda t: (t, 0),
                                    memory_space=pltpu.VMEM),
@@ -1135,21 +1204,18 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None,
         )
     else:
         prods = gather_products(x, plan.g, interpret=interpret)
-        # pad product array to the route domain and run phase 1
+        # pad product array to the route domain and run phase 1 (the
+        # product lanes already carry ii1 — composed into hi/val)
         pf = prods.reshape(-1)
         pf = jnp.pad(pf, (0, N_dst - pf.shape[0]))
         xp = pf.reshape(-1, 128)
-        k1 = functools.partial(SRT._phase_kernel, dists=gp.dists1, R=R1,
+        k1 = functools.partial(_phase1_noii_kernel, dists=gp.dists1, R=R1,
                                rows_in=TR, rows_out=T2 * rows_pp)
         phase1 = pl.pallas_call(
             k1,
             grid=(T2,),
             in_specs=[
                 pl.BlockSpec((TR, 128), lambda t: (t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((R1, 128), lambda t: (t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((R1, 128), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((R1, 128), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
@@ -1204,10 +1270,9 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None,
     )
     with jax.enable_x64(False):
         if fuse:
-            mid = phase1(_window_xt(x, gs), gs.hi, gs.val,
-                         gp.ii1, gp.bits1, gp.io1)
+            mid = phase1(_window_xt(x, gs), gs.hi, gs.val, gp.bits1)
         else:
-            mid = phase1(xp, gp.ii1, gp.bits1, gp.io1)
+            mid = phase1(xp, gp.bits1)
         mid4 = mid.reshape(T2, T2, rows_pp, 128)
         if exact:
             y = phase2(mid4, gp.ii2, gp.bits2, gp.io2,
@@ -1258,7 +1323,7 @@ def spmv_route_ds(x, plan: SpmvRoutePlan, *, interpret=None):
         k1,
         grid=(T2,),
         in_specs=[win_spec, win_spec, bspec(TR), bspec(TR), bspec(TR),
-                  bspec(R1), bspec(R1), bspec(R1)],
+                  bspec(R1)],
         out_specs=(pl.BlockSpec((T2 * rows_pp, 128), lambda t: (t, 0),
                                 memory_space=pltpu.VMEM),) * 2,
         out_shape=(mid_shape, mid_shape),
@@ -1288,8 +1353,7 @@ def spmv_route_ds(x, plan: SpmvRoutePlan, *, interpret=None):
     xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
     with jax.enable_x64(False):
         mh, ml = phase1(_window_xt(xh, gs), _window_xt(xl, gs),
-                        gs.hi, gs.val, gs.val_lo,
-                        gp.ii1, gp.bits1, gp.io1)
+                        gs.hi, gs.val, gs.val_lo, gp.bits1)
         mh4 = mh.reshape(T2, T2, rows_pp, 128)
         ml4 = ml.reshape(T2, T2, rows_pp, 128)
         yh, yl = phase2(mh4, ml4, gp.ii2, gp.bits2, gp.io2,

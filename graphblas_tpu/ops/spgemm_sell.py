@@ -246,6 +246,8 @@ def _phaseB_fn(tblN: int, m: int, bnrows: int, masked: bool, valued: bool,
         return tblj_flat.reshape(tblN, SEGW), tblv_flat.reshape(-1, SEGW)
 
     fn = jax.jit(run)
+    if len(_phase_jits) > 96:
+        _phase_jits.clear()
     _phase_jits[key] = fn
     return fn
 
@@ -271,6 +273,8 @@ def _phaseC_fn(EPAD: int, need_av: bool, m: int):
         return rs, sb, ns, pav
 
     fn = jax.jit(run)
+    if len(_phase_jits) > 96:
+        _phase_jits.clear()
     _phase_jits[key] = fn
     return fn
 
