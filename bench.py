@@ -60,15 +60,15 @@ def _route_tier(S, n):
     if os.path.exists(PLAN_CACHE):
         try:
             plan = SPRT.load_plan(PLAN_CACHE)
-            if plan.m != n or plan.g.nnz != S.nnz \
-                    or plan.lastidx8 is None:   # pre-exact-reduce format
+            if plan.m != n or plan.nnz_total != S.nnz \
+                    or not plan.has_exact:      # pre-exact-reduce format
                 plan = None
             else:
                 plan_cold = False
         except Exception:
             plan = None
     if plan is None:
-        plan = SPRT.SpmvRoutePlan(S.indptr, S.indices, S.data, (n, n))
+        plan = SPRT.build_plan(S.indptr, S.indices, S.data, (n, n))
         try:
             SPRT.save_plan(plan, PLAN_CACHE)
         except Exception:

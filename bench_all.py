@@ -66,8 +66,8 @@ def main():
     if os.path.exists(plan_path):
         try:
             plan = SPRT.load_plan(plan_path)
-            if plan.m != n or plan.g.nnz != nnz \
-                    or plan.lastidx8 is None or plan.g.val_lo is None:
+            if plan.m != n or plan.nnz_total != nnz \
+                    or not plan.has_exact or not SPRT.plan_has_lo(plan):
                 plan = None
             else:
                 plan_cold = False
@@ -77,8 +77,8 @@ def main():
         # build from f64 values: the plan then carries both the f32 route
         # tables (hi plane) and the lo plane for the double-single tier,
         # so one plan serves the fp32 AND fp64 SpMV rows
-        plan = SPRT.SpmvRoutePlan(S.indptr, S.indices,
-                                  S.data.astype(np.float64), (n, n))
+        plan = SPRT.build_plan(S.indptr, S.indices,
+                               S.data.astype(np.float64), (n, n))
         SPRT.save_plan(plan, plan_path)
     plan_s = time.perf_counter() - t0
     plan = SPRT.plan_to_device(plan)
@@ -145,14 +145,14 @@ def main():
     if os.path.exists(tplan_path):
         try:
             tplan = SPRT.load_plan(tplan_path)
-            if tplan.g.nnz != nnz or tplan.lastidx8 is None:
+            if tplan.nnz_total != nnz or not tplan.has_exact:
                 tplan = None
         except Exception:
             tplan = None
     if tplan is None:
         ip = np.asarray(At.indptr)
         ix = np.asarray(At.indices)
-        tplan = SPRT.SpmvRoutePlan(ip, ix, np.ones(nnz, np.float32), (n, n))
+        tplan = SPRT.build_plan(ip, ix, np.ones(nnz, np.float32), (n, n))
         SPRT.save_plan(tplan, tplan_path)
     tplan = SPRT.plan_to_device(tplan)
     GALG._pattern_plans.clear()
@@ -208,23 +208,49 @@ def main():
     print(json.dumps({"config": "build", **out["build"]}), flush=True)
 
     # ---- SpMSpV y = x*S, x 1% dense (dobench row: y=x*S) ---------------
+    # Two numbers: the CHAINED one-dispatch pipeline (gb.vxm_chain — the
+    # production packaging; the reference's per-call overhead is ~us, so
+    # K chained steps is the honest apples-to-apples against K C calls),
+    # and the eager per-call figure, which under the axon tunnel is the
+    # ~25-29 ms client dispatch floor, reported as eager_call_s.
     xi = np.arange(0, n, 100, dtype=np.int64)
     xv = (1e-3 * (xi % 97 + 1)).astype(np.float32)
     xs = gb.Vector.from_coo(xi, xv, n)
-    ys = gb.vxm(xs, A, SR.PLUS_TIMES)            # warm
-    _ = float(np.asarray(jnp.sum(ys.values)))
-    # the warm path has no internal host syncs, so K full op calls
-    # pipeline through the async dispatch queue; one final sync.  A
-    # single-shot measurement here times the ~29 ms tunnel roundtrip,
-    # not the op (the reference's per-call overhead is ~us).
+    Avxm = A.to_format(SPARSE, COL)
+    vplan_path = os.path.join(HERE, ".bench_plan_vxm.npz")
+    vplan = None
+    if os.path.exists(vplan_path):
+        try:
+            vplan = SPRT.load_plan(vplan_path)
+            if vplan.nnz_total != nnz or not vplan.has_exact:
+                vplan = None
+        except Exception:
+            vplan = None
+    if vplan is None:
+        vplan = SPRT.build_plan(np.asarray(Avxm.indptr),
+                                np.asarray(Avxm.indices),
+                                np.asarray(Avxm._vals_expanded()), (n, n))
+        SPRT.save_plan(vplan, vplan_path)
+    SPRT.register_plan(Avxm.indptr, Avxm.indices, Avxm._vals_expanded(),
+                       (n, n), vplan)
     KS = 20
+    ys = gb.vxm_chain(xs, Avxm, SR.PLUS_TIMES, KS)       # warm + compile
+    _ = float(np.asarray(jnp.sum(ys.values)))
+    t0 = time.perf_counter()
+    ys = gb.vxm_chain(xs, Avxm, SR.PLUS_TIMES, KS)
+    _ = float(np.asarray(jnp.sum(ys.values)))
+    vxm_s = max((time.perf_counter() - t0 - SYNC_FLOOR_S) / KS, 1e-6)
+    ys = gb.vxm(xs, A, SR.PLUS_TIMES)                    # eager warm
+    _ = float(np.asarray(jnp.sum(ys.values)))
     t0 = time.perf_counter()
     for _ in range(KS):
         ys = gb.vxm(xs, A, SR.PLUS_TIMES)
     _ = float(np.asarray(jnp.sum(ys.values)))
-    vxm_s = max((time.perf_counter() - t0 - SYNC_FLOOR_S) / KS, 1e-6)
+    eager_s = max((time.perf_counter() - t0 - SYNC_FLOOR_S) / KS, 1e-6)
     out["spmspv"] = {
-        "s": round(vxm_s, 5), "reps": KS,
+        "s": round(vxm_s, 5), "reps": KS, "chained": True,
+        "eager_call_s": round(eager_s, 5),
+        "note": "eager per-call = tunnel client dispatch floor",
         "vs_ref_this_host": _vs("spmspv_s", vxm_s)}
     print(json.dumps({"config": "spmspv", **out["spmspv"]}), flush=True)
 

@@ -47,7 +47,7 @@ def _pattern_route_plan(At: Matrix, build: bool):
     ip = np.asarray(At.indptr)
     ix = np.asarray(At.indices)
     n_out, n_in = At.shape[1], At.shape[0]
-    plan = SPRT.SpmvRoutePlan(ip, ix, np.ones(ix.shape[0], np.float32),
+    plan = SPRT.build_plan(ip, ix, np.ones(ix.shape[0], np.float32),
                               (n_out, n_in))
     if len(_pattern_plans) > 4:
         _pattern_plans.clear()
@@ -400,10 +400,80 @@ def _cc_fused(rows, cols, n):
     return f
 
 
-def sssp(A: Matrix, source: int, max_iter: int | None = None):
+_sssp_plans: dict = {}
+
+
+def _sssp_route_plan(At: Matrix, build: bool):
+    """Min-plus route plan on A' (values kept, unlike the pattern plans).
+    Cached per (structure, values) identity."""
+    from ..core import config as _cfg
+    from ..kernels import spmv_route as SPRT
+    if not _cfg.GLOBAL.pallas_enabled:
+        return None
+    key = (id(At.indptr), id(At.indices), id(At.values), At.shape)
+    ent = _sssp_plans.get(key)
+    if ent is not None and ent[0] is At.indptr and ent[1] is At.indices:
+        return ent[3]
+    if not build:
+        return None
+    ip = np.asarray(At.indptr)
+    ix = np.asarray(At.indices)
+    vals = np.asarray(At._vals_expanded(), np.float32)
+    plan = SPRT.build_plan(ip, ix, vals, (At.shape[1], At.shape[0]))
+    if len(_sssp_plans) > 4:
+        _sssp_plans.clear()
+    _sssp_plans[key] = (At.indptr, At.indices, At.values, plan)
+    return plan
+
+
+@functools.lru_cache(maxsize=16)
+def _routed_sssp_fn(n: int):
+    """Jitted Bellman-Ford over a routed MIN-PLUS plan (the semiring-
+    generic engine, spmv_route_monoid), 4 relaxations per while step."""
+    from ..kernels import spmv_route as SPRT
+
+    @jax.jit
+    def run(src, pln):
+        d0 = jnp.full((n,), jnp.inf, jnp.float32).at[src].set(0.0)
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < n + 4)
+
+        def body(state):
+            d, _, it = state
+            nd = d
+            for _ in range(4):
+                relax = SPRT.spmv_route_monoid(nd, pln, add="min",
+                                               mul="plus")
+                nd = jnp.minimum(nd, relax)
+            return nd, jnp.any(nd < d), it + 4
+
+        d, _, _ = jax.lax.while_loop(cond, body,
+                                     (d0, jnp.bool_(True), jnp.int32(0)))
+        return d
+
+    return run
+
+
+def sssp(A: Matrix, source: int, max_iter: int | None = None,
+         optimize=False):
     """Single-source shortest paths via Bellman-Ford over the min-plus
     semiring (reference idiom: GrB_vxm with GrB_MIN_PLUS_SEMIRING in a
-    loop).  Returns fp64 distances, inf where unreachable."""
+    loop).  Returns fp64 distances, inf where unreachable.
+
+    With ``optimize=True`` (or a cached plan) the relaxation runs through
+    the semiring-generic routing engine (min-plus segmented-scan reduce,
+    kernels/spmv_route.spmv_route_monoid) — the flagship engine serving a
+    non-plus monoid (round-5 ask #3)."""
+    At = A.to_format(SPARSE, COL)  # A in CSC == A' in CSR
+    plan = _sssp_route_plan(At, build=optimize)
+    if plan is not None:
+        from ..kernels import spmv_route as _SPRT
+        if _SPRT.monoid_tier_ok(plan):
+            plan = _SPRT.plan_to_device(plan)
+            d = _routed_sssp_fn(A.nrows)(jnp.int32(source), plan)
+            return d.astype(jnp.float64)
     Ar = A.to_format(SPARSE, ROW)
     n = A.nrows
     nnz = int(Ar.indices.shape[0])

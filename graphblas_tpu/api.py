@@ -101,6 +101,13 @@ def vxm(u, A, semiring, *, C=None, mask=None, accum=None, desc=NULL,
                                desc=desc, out_dtype=out_dtype))
 
 
+def vxm_chain(u, A, semiring, steps):
+    """K-step vxm pipeline fused into one dispatch (SpMSpV packaging for
+    remote-dispatch amortization; see ops/mxm.vxm_chain)."""
+    from .ops import mxm as _mxm
+    return _mxm.vxm_chain(u, A, semiring, steps)
+
+
 def extract(A, I=None, J=None, *, C=None, mask=None, accum=None, desc=NULL,
             out_dtype=None):
     from .ops import extract as _ex

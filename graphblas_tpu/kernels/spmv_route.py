@@ -222,7 +222,7 @@ class GatherPlan:
             prow = (key // 128) * RBL + band * 128 + (key % 128)
             plane = slot % 128
             pos = prow * 128 + plane
-            hi_arr = np.zeros(W * RBL * 128, np.int8)
+            hi_arr = np.full(W * RBL * 128, -1, np.int8)  # -1 = dummy
             val_arr = np.zeros(W * RBL * 128, np.float32)
             hi_arr[pos] = hi.astype(np.int8)
             val_arr[pos] = vv
@@ -249,7 +249,8 @@ def _gather_kernel(xt_ref, hi_ref, val_ref, out_ref, *, RB):
     # xt block: (128, 128) = window x transposed (row = residue)
     xt = xt_ref[:]
     tab = jnp.tile(xt, (-(-RB // 128), 1))[:RB]  # row s -> residue s%128
-    g = jnp.take_along_axis(tab, hi_ref[:].astype(jnp.int32), axis=1)
+    idx = jnp.maximum(hi_ref[:].astype(jnp.int32), 0)  # -1 = dummy slot
+    g = jnp.take_along_axis(tab, idx, axis=1)
     out_ref[:] = g * val_ref[:]
 
 
@@ -446,7 +447,7 @@ class SpmvRoutePlan:
 
     __slots__ = ("g", "gp", "sel_lidx", "sel_bits", "T", "TR", "YT_ROWS",
                  "m", "m_sub", "n", "extra_owner", "_device",
-                 "lastidx8", "samerow8", "cg_stages")
+                 "lastidx8", "samerow8", "cg_stages", "rowstart8")
 
     def __init__(self, indptr, indices, values, shape):
         m0, n = shape
@@ -584,6 +585,17 @@ class SpmvRoutePlan:
         # (the cumsum through that row) is delivered to raster position p
         # by a monotone concentrator — plan is pure rank arithmetic
         sent_slot = sent_flat.reshape(T, Y_T)                # within tile
+        # row-start flags per slot (semiring-generic reduce: the segmented
+        # scan restarts at these; sentinel slots carry the add identity so
+        # an empty row reduces to the identity — reference analog: the
+        # monoid identity seeds of GB_reduce_to_scalar)
+        rs = np.zeros((T, slots), np.int8)
+        rs[:, 0] = 1
+        nxt = sent_slot + 1                                  # next row start
+        ok_ = nxt < slots
+        flat_rs = (np.arange(T, dtype=np.int64)[:, None] * slots + nxt)[ok_]
+        rs.reshape(-1)[flat_rs] = 1
+        self.rowstart8 = jnp.asarray(rs.reshape(T * TR, 128))
         lidx, bits = SRT.monotone_pack_plan(sent_slot, TR)
         _dbg("sel pack done")
         self.sel_lidx = jnp.asarray(lidx)
@@ -620,6 +632,151 @@ class SpmvRoutePlan:
         _dbg("exact-reduce side data done")
         _compose_plan_planes(self)
         _dbg("gather compose done")
+
+    @property
+    def nnz_total(self):
+        return self.g.nnz
+
+    @property
+    def has_exact(self):
+        return getattr(self, "lastidx8", None) is not None
+
+    @property
+    def n_slots(self):
+        return self.T * self.TR * 128
+
+
+class StripedSpmvPlan:
+    """Row-striped route plan: the matrix's rows are partitioned into
+    contiguous stripes, each carrying its own SpmvRoutePlan with its own
+    power-of-two tile count.
+
+    Why: a single route domain is quantized to a pow2 tile count (the
+    8-sublane slab quantum + pow2 Benes force T | TR/8, see
+    experiments/ROOFLINE_BUDGET.md lever 2) — a graph needing 79 tiles
+    pays for 128 (padded_frac 2.0 on the 2^20/16.7M bench graph).  Two
+    stripes of 64 + 16 tiles cover the same need at 80 tiles
+    (padded_frac ~1.27): the pow2 lattice is escaped by SUMS of powers
+    of two.  Each stripe is an independent sub-matrix plan (rows are a
+    contiguous CSR slice, columns global); y = concat(stripe ys).
+
+    Reference analog: GB_ek_slice partitions work into balanced chunks
+    (Source/GB_ek_slice.c:9-20); here the partition is chosen to sit on
+    the route lattice rather than per-thread."""
+
+    __slots__ = ("plans", "bounds", "m", "n", "_device")
+
+    def __init__(self, plans, bounds, m, n):
+        self.plans = tuple(plans)
+        self.bounds = tuple(int(b) for b in bounds)
+        self.m, self.n = int(m), int(n)
+
+    @property
+    def nnz_total(self):
+        return sum(p.g.nnz for p in self.plans)
+
+    @property
+    def has_exact(self):
+        return all(p.has_exact for p in self.plans)
+
+    @property
+    def n_slots(self):
+        return sum(p.n_slots for p in self.plans)
+
+    @property
+    def padded_frac(self):
+        return self.n_slots / max(1, self.nnz_total)
+
+
+_STRIPE_MIN_NNZ = 1 << 22      # below: single plan (dispatch dominates)
+_STRIPE_MIN_ROWS = 1 << 16
+
+
+def plan_has_lo(plan):
+    """True when the plan carries the double-single lo value plane."""
+    plans = plan.plans if isinstance(plan, StripedSpmvPlan) else (plan,)
+    return all(getattr(p.g, "val_lo", None) is not None for p in plans)
+
+
+def _stripe_tile_split(F, min_t=16):
+    """Decompose a tile need F into [t1, t2] (t1 pow2 >= t2 pow2) when
+    that beats next_pow2(F); else None (single plan)."""
+    if F <= min_t:
+        return None
+    single = _next_pow2(F)
+    t1 = single // 2 if single > F else single
+    if t1 >= F:
+        return None                      # F is itself a power of two
+    rem = F - t1
+    t2 = max(min_t, _next_pow2(rem))
+    if t1 + t2 >= single or t2 > t1:
+        return None
+    return [t1, t2]
+
+
+def build_plan(indptr, indices, values, shape, force_single=None):
+    """Build the best route plan for a CSR matrix: a StripedSpmvPlan when
+    the tile need falls badly off the pow2 lattice, else a single
+    SpmvRoutePlan.  ``GB_ROUTE_STRIPES=0`` forces single-plan mode."""
+    if force_single is None:
+        force_single = os.environ.get("GB_ROUTE_STRIPES", "1") == "0"
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    values = np.asarray(values)
+    m, n = shape
+    nnz = indices.shape[0]
+    if force_single or nnz < _STRIPE_MIN_NNZ or m < _STRIPE_MIN_ROWS:
+        return SpmvRoutePlan(indptr, indices, values, shape)
+    # estimate the tile need the way SpmvRoutePlan.__init__ derives T:
+    # gather capacity (with ~13% class skew) and row capacity per tile.
+    # Per-row tile cost = max of the two constraints, so the stripe cut
+    # lands each stripe under its pow2 budget on BOTH axes.
+    TR = SRT.TILE_R
+    slots = TR * 128
+    need_est = int(nnz * 1.35) + m
+    while need_est > 256 * TR * 128 and TR < 16384:
+        TR *= 2
+        slots = TR * 128
+    counts = np.diff(indptr)
+
+    def est_T(b0, b1):
+        # pre-pow2 tile need of rows [b0, b1): mirrors __init__'s
+        # T-derivation (row budget Y_T from the stripe's own mean degree;
+        # gather capacity with ~13% class skew)
+        m_s = b1 - b0
+        if m_s <= 0:
+            return 0
+        nnz_s = int(indptr[b1] - indptr[b0])
+        avg = nnz_s / m_s + 1.0
+        ytr = max(int(slots / avg / 128 * 0.90) // 8 * 8, 8)
+        return max(-(-m_s // (ytr * 128)), -(-int(nnz_s * 1.13) // slots))
+
+    F = est_T(0, m)
+    split = _stripe_tile_split(F)
+    if split is None:
+        return SpmvRoutePlan(indptr, indices, values, shape)
+    t1, t2 = split
+    # largest prefix whose tile need fits t1 (monotone -> binary search)
+    lo, hi = 1, m - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if est_T(0, mid) <= t1:
+            lo = mid
+        else:
+            hi = mid - 1
+    b = lo
+    if est_T(b, m) > t2:
+        return SpmvRoutePlan(indptr, indices, values, shape)
+    ip1 = indptr[: b + 1]
+    e1 = int(ip1[-1])
+    p1 = SpmvRoutePlan(ip1, indices[:e1], values[:e1], (b, n))
+    ip2 = indptr[b:] - indptr[b]
+    p2 = SpmvRoutePlan(ip2, indices[e1:], values[e1:], (m - b, n))
+    from ..core import config as CFG
+    CFG.burble("route plan: stripes T=[%d,%d] rows=[%d,%d] padded=%.2f",
+               p1.T, p2.T, b, m - b,
+               (p1.n_slots + p2.n_slots) / max(1, nnz))
+    return StripedSpmvPlan([p1, p2], [0, b, m], m, n)
 
 
 # ---------------------------------------------------------------------------
@@ -663,20 +820,32 @@ def _register_plan_pytrees():
     def flat_plan(p):
         return ((p.g, p.gp, p.sel_lidx, p.sel_bits,
                  p.extra_owner, getattr(p, "lastidx8", None),
-                 getattr(p, "samerow8", None)),
+                 getattr(p, "samerow8", None),
+                 getattr(p, "rowstart8", None)),
                 (p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n,
                  getattr(p, "cg_stages", 0)))
 
     def unflat_plan(aux, leaves):
         p = object.__new__(SpmvRoutePlan)
         (p.g, p.gp, p.sel_lidx, p.sel_bits,
-         p.extra_owner, p.lastidx8, p.samerow8) = leaves
+         p.extra_owner, p.lastidx8, p.samerow8, p.rowstart8) = leaves
         (p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n,
          p.cg_stages) = aux
         return p
 
     jax.tree_util.register_pytree_node(SpmvRoutePlan, flat_plan,
                                        unflat_plan)
+
+    def flat_sp(sp):
+        return (sp.plans, (sp.bounds, sp.m, sp.n))
+
+    def unflat_sp(aux, leaves):
+        sp = object.__new__(StripedSpmvPlan)
+        sp.plans = tuple(leaves)
+        sp.bounds, sp.m, sp.n = aux
+        return sp
+
+    jax.tree_util.register_pytree_node(StripedSpmvPlan, flat_sp, unflat_sp)
 
 
 _register_plan_pytrees()
@@ -721,8 +890,8 @@ def plan_for(indptr, indices, values, shape, build=True):
         return ent[3]
     if not build:
         return None
-    p = SpmvRoutePlan(np.asarray(indptr), np.asarray(indices),
-                      np.asarray(values), shape)
+    p = build_plan(np.asarray(indptr), np.asarray(indices),
+                   np.asarray(values), shape)
     if len(_plan_cache) > 4:
         _plan_cache.clear()
     _plan_cache[key] = (indptr, indices, values, p)
@@ -753,6 +922,15 @@ def save_plan(plan: "SpmvRoutePlan", path):
     for a bench-scale plan.  The directory keeps the exact given name
     (even a trailing .npz) so callers' os.path.exists checks keep
     working.  A legacy single-file .npz is still readable."""
+    if isinstance(plan, StripedSpmvPlan):
+        if os.path.isfile(path):
+            os.remove(path)
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "stripes.npy"),
+                np.asarray(plan.bounds, np.int64))
+        for k, p in enumerate(plan.plans):
+            save_plan(p, os.path.join(path, f"stripe{k}"))
+        return
     blob = _plan_blob(plan)
     if os.path.isfile(path):
         os.remove(path)
@@ -791,6 +969,8 @@ def _plan_blob(plan):
         blob["sel_last"] = np.asarray(plan.lastidx8)[:, 0]
         blob["sel_same"] = np.asarray(plan.samerow8)
         blob["p_cg_stages"] = np.int64(plan.cg_stages)
+    if getattr(plan, "rowstart8", None) is not None:
+        blob["rowstart8"] = np.asarray(plan.rowstart8)
     return blob
 
 
@@ -806,6 +986,13 @@ class _DirBlob:
 
 def load_plan(path) -> "SpmvRoutePlan":
     if os.path.isdir(path):
+        sf = os.path.join(path, "stripes.npy")
+        if os.path.exists(sf):
+            bounds = np.load(sf)
+            plans = [load_plan(os.path.join(path, f"stripe{k}"))
+                     for k in range(len(bounds) - 1)]
+            return StripedSpmvPlan(plans, bounds, int(bounds[-1]),
+                                   plans[0].n)
         z = _DirBlob(path)
     else:
         z = np.load(path)
@@ -857,6 +1044,10 @@ def load_plan(path) -> "SpmvRoutePlan":
         plan.lastidx8 = None
         plan.samerow8 = None
         plan.cg_stages = 0
+    try:
+        plan.rowstart8 = jnp.asarray(z["rowstart8"])
+    except (KeyError, FileNotFoundError):
+        plan.rowstart8 = None        # pre-monoid blob: plus-only plan
     _compose_plan_planes(plan)   # no-op on composed-format blobs
     return plan
 
@@ -977,7 +1168,8 @@ def _gather_phase1_kernel(xt_ref, hi_ref, val_ref, bits_ref,
     hi/val, io1 into phase-2's ii2 — see _compose_plan_planes)."""
     xt = xt_ref[:]                               # (128,128) window strip
     tab = jnp.tile(xt, (rows_in // 128, 1))      # row s -> residue s % 128
-    g = jnp.take_along_axis(tab, hi_ref[:].astype(jnp.int32), axis=1)
+    idx = jnp.maximum(hi_ref[:].astype(jnp.int32), 0)  # -1 = dummy slot
+    g = jnp.take_along_axis(tab, idx, axis=1)
     x = g * val_ref[:]
     if rows_in < R:
         x = jnp.concatenate(
@@ -1055,7 +1247,7 @@ def _gather_phase1_ds_kernel(xth_ref, xtl_ref, hi_ref, vh_ref, vl_ref,
     """Fused gather + TwoProd + phase-1 route on (hi, lo) planes.  The
     plan blocks (hi/bits) load ONCE and route both planes; the phase-1
     lane gathers are plan-composed away (see _compose_plan_planes)."""
-    idx = hi_ref[:].astype(jnp.int32)
+    idx = jnp.maximum(hi_ref[:].astype(jnp.int32), 0)  # -1 = dummy slot
     reps = rows_in // 128
     gh = jnp.take_along_axis(jnp.tile(xth_ref[:], (reps, 1)), idx, axis=1)
     gl = jnp.take_along_axis(jnp.tile(xtl_ref[:], (reps, 1)), idx, axis=1)
@@ -1161,11 +1353,15 @@ def _window_xt(x, g: GatherPlan):
 _FORCE_LEGACY = bool(os.environ.get("GB_ROUTE_LEGACY"))
 
 
-def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None,
-               force_legacy=None):
+def spmv_route(x, plan, *, interpret=None, force_legacy=None):
     """y = A @ x (plus-times fp32) through the routing engine.
     ``interpret=None`` auto-selects interpret mode on the CPU backend so
-    routed paths stay testable on the CI mesh."""
+    routed paths stay testable on the CI mesh.  Accepts a striped plan
+    (per-stripe sub-SpMVs, y = concat)."""
+    if isinstance(plan, StripedSpmvPlan):
+        return jnp.concatenate(
+            [spmv_route(x, p, interpret=interpret,
+                        force_legacy=force_legacy) for p in plan.plans])
     interpret = _auto_interpret(interpret)
     legacy = _FORCE_LEGACY if force_legacy is None else force_legacy
     gp = plan.gp
@@ -1289,13 +1485,18 @@ def spmv_route(x, plan: SpmvRoutePlan, *, interpret=None,
     return y[: plan.m]
 
 
-def spmv_route_ds(x, plan: SpmvRoutePlan, *, interpret=None):
+def spmv_route_ds(x, plan, *, interpret=None):
     """y = A @ x in fp64 through the routing engine, carried as
     double-single (hi, lo) f32 planes (see the fp64-tier comment above).
     Requires a plan built from f64 values (plan.g.val_lo), the fused
     gather layout, and the exact-reduce side data; returns an f64 vector.
     Returns None when the plan cannot drive this tier (caller falls back
     to the XLA substrate)."""
+    if isinstance(plan, StripedSpmvPlan):
+        ys = [spmv_route_ds(x, p, interpret=interpret) for p in plan.plans]
+        if any(y is None for y in ys):
+            return None
+        return jnp.concatenate(ys)
     interpret = _auto_interpret(interpret)
     gp = plan.gp
     gs = plan.g
@@ -1365,3 +1566,260 @@ def spmv_route_ds(x, plan: SpmvRoutePlan, *, interpret=None):
         return y[: plan.m].at[plan.extra_owner].add(
             y[plan.m: plan.m_sub])
     return y[: plan.m]
+
+
+# ---------------------------------------------------------------------------
+# semiring-generic tier: routed SpMV over any (add-monoid, multiply) pair
+# of {min,max,plus} x {plus,times,first,second,pair} on f32 planes.
+#
+# The ROUTING stages are value-agnostic selections, so one plan drives
+# every semiring; what changes is (a) the multiply in the gather stage,
+# (b) the padding/dummy injection value (the add identity, marked by
+# hi = -1 dummy slots), and (c) the reduce: non-invertible monoids (min,
+# max) cannot difference a cumsum at sentinels, so the reduce runs as a
+# SEGMENTED inclusive scan restarting at row-start flags (rowstart8
+# plane), with the same sublane-row carry chain as the exact kernel.
+# Sentinel slots carry the identity, so empty rows reduce to it (min-plus
+# SSSP: unreached = +inf, exactly the LAGraph convention).
+#
+# Reference analog: the semiring-generic saxpy factory expansion
+# (Source/Factories/GB_AxB_factory.c:15-36) — here the "expansion" is a
+# functools.partial over (ident, add, mul) traced by XLA per semiring.
+# ---------------------------------------------------------------------------
+
+_INF = float(np.inf)
+
+MONOID_FNS = {
+    "plus": (0.0, lambda a, b: a + b, "add"),
+    "min": (_INF, jnp.minimum, "min"),
+    "max": (-_INF, jnp.maximum, "max"),
+}
+
+MULT_FNS = {
+    "times": lambda g, v: g * v,
+    "plus": lambda g, v: g + v,
+    "first": lambda g, v: v,      # first(a_ik, x_k) = A value
+    "second": lambda g, v: g,     # second(a_ik, x_k) = x value
+    "pair": lambda g, v: jnp.full_like(g, 1.0),
+}
+
+
+def _gather_phase1_monoid_kernel(xt_ref, hi_ref, val_ref, bits_ref, y_ref,
+                                 *, dists, R, rows_in, rows_out, ident,
+                                 mul):
+    xt = xt_ref[:]
+    tab = jnp.tile(xt, (rows_in // 128, 1))
+    idxr = hi_ref[:].astype(jnp.int32)
+    g = jnp.take_along_axis(tab, jnp.maximum(idxr, 0), axis=1)
+    p = mul(g, val_ref[:])
+    x = jnp.where(idxr < 0, jnp.float32(ident), p)   # dummies -> identity
+    if rows_in < R:
+        x = jnp.concatenate(
+            [x, jnp.full((R - rows_in, 128), jnp.float32(ident))], axis=0)
+    x = SRT._benes_stages(x, bits_ref[:], dists, R)
+    y_ref[:] = x[:rows_out, :]
+
+
+def _phase2_monoid_kernel(x_ref, ii_ref, bits_ref, io_ref, slidx_ref,
+                          sb_ref, rs_ref, y_ref, *, dists, R, rows_in,
+                          YT_ROWS, TR, cstages, ident, add):
+    """Segmented-scan reduce: rowstart flags restart the scan; cross-
+    sublane-row mass rides a (value, has-start) carry chain."""
+    x = x_ref[:].reshape(rows_in, 128)
+    if rows_in < R:
+        x = jnp.concatenate(
+            [x, jnp.full((R - rows_in, 128), jnp.float32(ident))], axis=0)
+    x = jnp.take_along_axis(x, ii_ref[:].astype(jnp.int32), axis=1)
+    x = SRT._benes_stages(x, bits_ref[:], dists, R)
+    x = jnp.take_along_axis(x, io_ref[:].astype(jnp.int32), axis=1)
+    L = x[:TR, :]
+    F = (rs_ref[:] != 0).astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, L.shape, 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, L.shape, 0)
+    k = 1
+    while k < 128:            # segmented inclusive scan along lanes
+        Lk = pltpu.roll(L, k, 1)
+        Fk = pltpu.roll(F, k, 1)
+        m = (lane >= k) & (F == 0)
+        L = jnp.where(m, add(Lk, L), L)
+        F = jnp.where(lane >= k, F | Fk, F)
+        k *= 2
+    # carry chain over sublane rows: c_r = Fr ? V_r : add(c_{r-1}, V_r)
+    V = jax.lax.broadcast_in_dim(L[:, 127], L.shape, (0,))
+    Fr = jax.lax.broadcast_in_dim(F[:, 127], F.shape, (0,))
+    c = V
+    g = jnp.where(Fr != 0, 0, 1)
+    for s_ in range(cstages):
+        k = 1 << s_
+        cin = pltpu.roll(c, k, 0)
+        gin = pltpu.roll(g, k, 0)
+        m = (rowi >= k) & (g == 1)
+        c = jnp.where(m, add(cin, c), c)
+        g = jnp.where(rowi >= k, g * gin, g)
+    carry = jnp.where(rowi >= 1, pltpu.roll(c, 1, 0), jnp.float32(ident))
+    L = jnp.where(F == 0, add(carry, L), L)   # inject into open prefixes
+    cs = jnp.take_along_axis(L, slidx_ref[:].astype(jnp.int32), axis=1)
+    cs = SRT._pack_stages(cs, sb_ref[:], TR)
+    y_ref[:] = cs[:YT_ROWS, :]
+
+
+def monoid_tier_ok(plan):
+    """Static predicate: can spmv_route_monoid drive this plan?"""
+    plans = plan.plans if isinstance(plan, StripedSpmvPlan) else (plan,)
+    return all(getattr(p, "rowstart8", None) is not None for p in plans)
+
+
+def spmv_route_monoid(x, plan, *, add="min", mul="plus", interpret=None):
+    """y = A (add.mul) x through the routing engine for a generic
+    semiring (f32 value planes).  Returns None when the plan cannot
+    drive this tier (no rowstart plane / unfused layout) — callers fall
+    back to the XLA substrate.  add='plus' pairs are better served by
+    ``spmv_route`` (cumsum-difference reduce); this path exists for the
+    non-invertible monoids (min/max: SSSP, widest-path, lor-land)."""
+    if isinstance(plan, StripedSpmvPlan):
+        ys = [spmv_route_monoid(x, p, add=add, mul=mul,
+                                interpret=interpret) for p in plan.plans]
+        if any(y is None for y in ys):
+            return None
+        return jnp.concatenate(ys)
+    interpret = _auto_interpret(interpret)
+    ident, addf, atname = MONOID_FNS[add]
+    mulf = MULT_FNS[mul]
+    gp = plan.gp
+    gs = plan.g
+    if getattr(plan, "rowstart8", None) is None:
+        return None
+    T2, R1, R2 = gp.T, gp.R1, gp.R2
+    TR = getattr(gp, "TR", SRT.TILE_R)
+    rows_pp = gp.rows_pp
+    N_dst = T2 * TR * 128
+    N_src = gs.W * gs.RBL * 128
+    fuse = (gs.RBL % TR == 0) and (N_src == N_dst)
+    cp = (None if interpret else
+          pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024))
+    cstages = min(plan.cg_stages + 1, int(np.log2(TR)))
+    bspec = lambda r: pl.BlockSpec((r, 128), lambda t: (t, 0),  # noqa: E731
+                                   memory_space=pltpu.VMEM)
+    if fuse:
+        ratio = gs.RBL // TR
+        k1 = functools.partial(_gather_phase1_monoid_kernel,
+                               dists=gp.dists1, R=R1, rows_in=TR,
+                               rows_out=T2 * rows_pp, ident=ident,
+                               mul=mulf)
+        phase1 = pl.pallas_call(
+            k1,
+            grid=(T2,),
+            in_specs=[
+                pl.BlockSpec((128, 128), lambda t: (t // ratio, 0),
+                             memory_space=pltpu.VMEM),
+                bspec(TR), bspec(TR), bspec(R1),
+            ],
+            out_specs=pl.BlockSpec((T2 * rows_pp, 128), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T2 * T2 * rows_pp, 128),
+                                           jnp.float32),
+            interpret=interpret,
+            compiler_params=cp,
+        )
+    else:
+        # unfused: standalone gather (hub/virtual-window layouts), then
+        # phase 1 on the identity-padded product array
+        prods = _gather_products_monoid(x, gs, ident, mulf,
+                                        interpret=interpret)
+        pf = prods.reshape(-1)
+        pf = jnp.concatenate(
+            [pf, jnp.full((N_dst - pf.shape[0],), jnp.float32(ident))])
+        xp = pf.reshape(-1, 128)
+        k1 = functools.partial(_phase1_monoid_noii_kernel, dists=gp.dists1,
+                               R=R1, rows_in=TR, rows_out=T2 * rows_pp,
+                               ident=ident)
+        phase1 = pl.pallas_call(
+            k1,
+            grid=(T2,),
+            in_specs=[bspec(TR), bspec(R1)],
+            out_specs=pl.BlockSpec((T2 * rows_pp, 128), lambda t: (t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T2 * T2 * rows_pp, 128),
+                                           jnp.float32),
+            interpret=interpret,
+            compiler_params=cp,
+        )
+    k2 = functools.partial(_phase2_monoid_kernel, dists=gp.dists2, R=R2,
+                           rows_in=T2 * rows_pp, YT_ROWS=plan.YT_ROWS,
+                           TR=TR, cstages=cstages, ident=ident, add=addf)
+    phase2 = pl.pallas_call(
+        k2,
+        grid=(T2,),
+        in_specs=[
+            pl.BlockSpec((T2, 1, rows_pp, 128), lambda t: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bspec(R2), bspec(R2), bspec(R2), bspec(TR), bspec(TR),
+            bspec(TR),
+        ],
+        out_specs=pl.BlockSpec((plan.YT_ROWS, 128), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T2 * plan.YT_ROWS, 128),
+                                       jnp.float32),
+        interpret=interpret,
+        compiler_params=cp,
+    )
+    with jax.enable_x64(False):
+        if fuse:
+            mid = phase1(_window_xt(x, gs), gs.hi, gs.val, gp.bits1)
+        else:
+            mid = phase1(xp, gp.bits1)
+        mid4 = mid.reshape(T2, T2, rows_pp, 128)
+        y = phase2(mid4, gp.ii2, gp.bits2, gp.io2,
+                   plan.sel_lidx, plan.sel_bits, plan.rowstart8)
+    y = y.reshape(-1)
+    if plan.extra_owner is not None:
+        base = y[: plan.m]
+        extra = y[plan.m: plan.m_sub]
+        base = getattr(base.at[plan.extra_owner], atname)(extra)
+        return base
+    return y[: plan.m]
+
+
+def _phase1_monoid_noii_kernel(x_ref, bits_ref, y_ref, *, dists, R,
+                               rows_in, rows_out, ident):
+    x = x_ref[:]
+    if rows_in < R:
+        x = jnp.concatenate(
+            [x, jnp.full((R - rows_in, 128), jnp.float32(ident))], axis=0)
+    x = SRT._benes_stages(x, bits_ref[:], dists, R)
+    y_ref[:] = x[:rows_out, :]
+
+
+def _gather_products_monoid(x, gplan: GatherPlan, ident, mulf, *,
+                            interpret=False):
+    """Standalone monoid gather: like gather_products but with the
+    semiring multiply and identity-valued dummy slots (hi = -1)."""
+    interpret = _auto_interpret(interpret)
+    W, RB = gplan.W, gplan.RBL
+    xt = _window_xt(x, gplan)
+
+    def kern(xt_ref, hi_ref, val_ref, out_ref):
+        tab = jnp.tile(xt_ref[:], (-(-RB // 128), 1))[:RB]
+        idxr = hi_ref[:].astype(jnp.int32)
+        g = jnp.take_along_axis(tab, jnp.maximum(idxr, 0), axis=1)
+        p = mulf(g, val_ref[:])
+        out_ref[:] = jnp.where(idxr < 0, jnp.float32(ident), p)
+
+    f = pl.pallas_call(
+        kern,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((128, 128), lambda wi: (wi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 128), lambda wi: (wi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 128), lambda wi: (wi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RB, 128), lambda wi: (wi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((W * RB, 128), jnp.float32),
+        interpret=interpret,
+    )
+    with jax.enable_x64(False):
+        return f(xt, gplan.hi, gplan.val)

@@ -534,6 +534,37 @@ def _spmm(A: Matrix, B: Matrix, sr, zt, relabel=_ident_relabel) -> Matrix:
                                 (m, B.ncols))
         return Matrix((m, B.ncols), zt, BITMAP, ROW, values=y,
                       bitmap=pres)
+    # semiring-generic route tier (round-5): (min|max).(plus|times|first|
+    # second|pair) SpMV rides the routing engine's segmented-scan reduce
+    # when a plan is cached (Matrix.optimize).  Reference analog: the
+    # factory expansion over semirings (Source/Factories/GB_AxB_factory.c)
+    route_add = {"GrB_MIN": "min", "GrB_MAX": "max"}.get(sr.add.op.name)
+    route_mul = {"GrB_TIMES": "times", "GrB_PLUS": "plus",
+                 "GrB_FIRST": "first", "GrB_SECOND": "second",
+                 "GrB_ONEB": "pair"}.get(sr.mult.name)
+    if (B.ncols == 1 and B.fmt == FULL and route_add and route_mul
+            and not sr.mult.positional and zt.np_dtype == np.float32
+            and CFG.GLOBAL.pallas_enabled):
+        rp = None
+        try:
+            from ..kernels import spmv_route
+            vals32 = cast(Ar._vals_expanded(), zt)
+            rp = spmv_route.plan_for(Ar.indptr, Ar.indices, vals32,
+                                     (A.nrows, B.nrows), build=False)
+        except Exception:  # pragma: no cover - fall through
+            rp = None
+        if rp is not None and spmv_route.monoid_tier_ok(rp):
+            rp = spmv_route.plan_to_device(rp)
+            bv1 = cast(B._vals_expanded(), zt)
+            y = spmv_route.spmv_route_monoid(
+                bv1[:, 0].astype(jnp.float32), rp,
+                add=route_add, mul=route_mul)
+            if y is not None:
+                CFG.burble("spmv: tier=route_monoid %s_%s",
+                           route_add, route_mul)
+                pres1 = (jnp.diff(Ar.indptr) > 0)[:, None]
+                return Matrix((A.nrows, 1), zt, BITMAP, ROW,
+                              values=y[:, None], bitmap=pres1)
     m, k = A.shape
     n = B.ncols
     nnz = int(Ar.indices.shape[0])
@@ -583,6 +614,65 @@ def _narrow_spmm_route(ncols: int):
         fn = jax.jit(run)
         _narrow_spmm_jits[ncols] = fn
     return fn
+
+
+_vxm_chain_jits: dict = {}
+
+
+def vxm_chain(u, A, sr: Semiring, steps: int):
+    """K-step vxm pipeline in ONE dispatch: y0 = u; yk = y(k-1) (+).(x) A.
+
+    The SpMSpV dispatch-floor packaging (round-5 ask #6): the reference
+    issues K GrB_vxm calls at ~us overhead each
+    (GraphBLAS/demo/benchmark/dobench.m y=x*S row); under a remote-TPU
+    tunnel each eager call pays ~25 ms dispatch, so the chain runs as a
+    single jitted fori_loop over the routing engine (dense carrier — the
+    result is a FULL vector; implicit zeros become explicit, the usual
+    dense-y GraphBLAS idiom).  Falls back to an eager vxm loop when the
+    fast path (plus-times f32 + cached route plan on A's CSC form) is
+    unavailable.  Build the plan with ``A.to_format(SPARSE, COL)`` held
+    by the caller + ``Matrix.optimize()`` / ``spmv_route.register_plan``.
+    """
+    import graphblas_tpu as gb
+    from ..core.matrix import COL, SPARSE, Vector
+    steps = int(steps)
+    if steps <= 0:
+        return u
+    fast = (sr.add.op.name == "GrB_PLUS" and sr.mult.name == "GrB_TIMES"
+            and not sr.mult.positional and CFG.GLOBAL.pallas_enabled)
+    rp = None
+    if fast:
+        try:
+            from ..kernels import spmv_route as SPRT
+            At = A.to_format(SPARSE, COL)
+            vals = At._vals_expanded()
+            if vals.dtype == jnp.float32:
+                rp = SPRT.plan_for(At.indptr, At.indices, vals,
+                                   (A.ncols, A.nrows), build=False)
+        except Exception:  # pragma: no cover - fall back
+            rp = None
+    if rp is not None:
+        from ..kernels import spmv_route as SPRT
+        rp = SPRT.plan_to_device(rp)
+        CFG.burble("vxm_chain: routed x%d (one dispatch)", steps)
+        fn = _vxm_chain_jits.get(steps)
+        if fn is None:
+            def run(x0, pln):
+                def body(_, x):
+                    return SPRT.spmv_route(x, pln)
+                return jax.lax.fori_loop(0, steps, body, x0)
+            fn = jax.jit(run)
+            if len(_vxm_chain_jits) > 32:
+                _vxm_chain_jits.clear()
+            _vxm_chain_jits[steps] = fn
+        x0 = u.to_dense_1d(0.0)[0]
+        y = fn(x0.astype(jnp.float32), rp)
+        return Vector.from_dense(y)
+    CFG.burble("vxm_chain: eager fallback x%d", steps)
+    y = u
+    for _ in range(steps):
+        y = gb.vxm(y, A, sr)
+    return y
 
 
 def spmv_arrays(indptr, indices, values, x, m: int):

@@ -890,7 +890,7 @@ void gbtpu_gather_finalize(const int64_t* key, const int32_t* slot,
                            int64_t* pos) {
   const int64_t Q = RBL / 128;
   const int64_t total = W * RBL * 128;
-  memset(hi_arr, 0, (size_t)total);
+  memset(hi_arr, 0xFF, (size_t)total);  // -1 = dummy slot (semiring-generic identity marker)
   memset(val_arr, 0, (size_t)total * sizeof(float));
   const int64_t HASH = 2654435761LL;
   for (int64_t e = 0; e < nnz; ++e) {
