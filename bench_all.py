@@ -136,6 +136,28 @@ def main():
     print(json.dumps({"config": "spmv_fp64", **out["spmv_fp64"]}),
           flush=True)
 
+    # ---- min-plus SpMV (semiring-generic routed tier, round-5 ask #3;
+    # reference row measured by experiments/bench_ref.c spmv_min_plus)
+    @jax.jit
+    def chained_mp(v, pln):
+        def body(i, acc):
+            y = SPRT.spmv_route_monoid(acc, pln, add="min", mul="plus")
+            return jnp.minimum(acc, y)
+        return jax.lax.fori_loop(0, K, body, v)
+
+    ymp = chained_mp(x0, plan)
+    _ = float(np.asarray(jnp.sum(ymp)))
+    t0 = time.perf_counter()
+    ymp = chained_mp(x0, plan)
+    _ = float(np.asarray(jnp.sum(ymp)))
+    mp_s = (time.perf_counter() - t0 - SYNC_FLOOR_S) / K
+    refmp = REF_1CORE.get("spmv_minplus_s")
+    out["spmv_min_plus"] = {
+        "s": round(mp_s, 6),
+        "vs_ref_this_host": (round(refmp / mp_s, 1) if refmp else None)}
+    print(json.dumps({"config": "spmv_min_plus", **out["spmv_min_plus"]}),
+          flush=True)
+
     # ---- pattern plan for A' (shared by BFS + PageRank) ----------------
     A = gb.Matrix.from_scipy(S)
     At = A.to_format(SPARSE, COL)

@@ -46,6 +46,11 @@ def rmat_edges(scale, edge_factor, rng, a=0.57, b=0.19, c=0.19):
     return perm[rows], perm[cols], n
 
 
+# Reference (1-core, this host, solo) on the scale-18 RMAT graph dumped
+# above — measured via experiments/bench_ref.c; None until measured.
+REF_RMAT18 = {"spgemm_s": None, "triangle_count_s": None, "ntri": None}
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -78,7 +83,7 @@ def main():
 
     # ---- SpMV (routing engine, cold plan build timed) ------------------
     t0 = time.perf_counter()
-    plan = SPRT.SpmvRoutePlan(S.indptr, S.indices, S.data, (n, n))
+    plan = SPRT.build_plan(S.indptr, S.indices, S.data, (n, n))
     plan_s = time.perf_counter() - t0
     plan = SPRT.plan_to_device(plan)
     K = 60
@@ -102,7 +107,7 @@ def main():
     out["spmv"] = {
         "s": round(spmv_s, 6), "gnnz_per_s": round(nnz / spmv_s / 1e9, 3),
         "plan_s": round(plan_s, 1), "plan_cold": True, "relerr": relerr,
-        "padded_frac": round(float(plan.g.padded_frac), 2),
+        "padded_frac": round(float(plan.padded_frac), 2),
         "vs_ref_published_20core": round(
             nnz / spmv_s / 1e9 / REF_PUBLISHED_SPMV_GNNZ_S, 2)}
     print(json.dumps({"config": "spmv", **out["spmv"]}), flush=True)
@@ -156,6 +161,54 @@ def main():
     vxm_s = max(time.perf_counter() - t0 - SYNC_FLOOR_S, 1e-6)
     out["spmspv"] = {"s": round(vxm_s, 4)}
     print(json.dumps({"config": "spmspv", **out["spmspv"]}), flush=True)
+
+    # ---- power-law SpGEMM + TC (BASELINE config 4: tier selection on
+    # power-law graphs).  Scale-18 keeps both sides tractable; the
+    # reference numbers come from experiments/bench_ref.c run on the SAME
+    # generated graph (REF_RMAT18 below, measured on this host solo).
+    rng18 = np.random.default_rng(7)
+    ri8, ci8, n8 = rmat_edges(18, 16, rng18)
+    S18 = sps.csr_matrix((np.ones(ri8.size, np.float32), (ri8, ci8)),
+                         shape=(n8, n8))
+    S18.sum_duplicates()
+    # dump the graph for the reference driver (bench_ref.c format)
+    try:
+        coo18 = S18.tocoo()
+        with open("/tmp/rmat18_graph.bin", "wb") as f:
+            np.asarray([n8, S18.nnz], np.int64).tofile(f)
+            coo18.row.astype(np.int32).tofile(f)
+            coo18.col.astype(np.int32).tofile(f)
+    except Exception:
+        pass
+    A18 = gb.Matrix.from_scipy(S18)
+    gb.set_option("burble", True)   # tier-selection evidence in the log
+    C18 = gb.mxm(A18, A18, SR.PLUS_TIMES)          # warm
+    _ = float(np.asarray(jnp.sum(C18.values if hasattr(C18, "values")
+                                 else 0)))
+    t0 = time.perf_counter()
+    C18 = gb.mxm(A18, A18, SR.PLUS_TIMES)
+    cn = int(C18.nvals)
+    gem_s = max(time.perf_counter() - t0 - SYNC_FLOOR_S, 1e-6)
+    ref = REF_RMAT18.get("spgemm_s")
+    out["spgemm_rmat18"] = {
+        "s": round(gem_s, 3), "cnnz": cn, "n": n8, "nnz": int(S18.nnz),
+        "vs_ref_this_host": round(ref / gem_s, 2) if ref else None}
+    print(json.dumps({"config": "spgemm_rmat18", **out["spgemm_rmat18"]}),
+          flush=True)
+
+    nt = GALG.triangle_count(A18)                  # warm (plans cached)
+    t0 = time.perf_counter()
+    nt = GALG.triangle_count(A18)
+    tc_s = max(time.perf_counter() - t0 - SYNC_FLOOR_S, 1e-6)
+    gb.set_option("burble", False)
+    ref = REF_RMAT18.get("triangle_count_s")
+    out["tc_rmat18"] = {
+        "s": round(tc_s, 3), "ntri": int(nt),
+        "matches_ref": (int(nt) == REF_RMAT18.get("ntri")
+                        if REF_RMAT18.get("ntri") is not None else None),
+        "vs_ref_this_host": round(ref / tc_s, 2) if ref else None}
+    print(json.dumps({"config": "tc_rmat18", **out["tc_rmat18"]}),
+          flush=True)
 
     with open(os.path.join(HERE, "BENCH_REAL.json"), "w") as f:
         json.dump(out, f, indent=1)

@@ -75,6 +75,18 @@ int main(int argc, char **argv) {
   printf("{\"op\": \"spmv\", \"s\": %.4f, \"gnnz_per_s\": %.4f}\n", spmv_s,
          real_nnz / spmv_s / 1e9);
 
+  /* ---- min-plus SpMV (SSSP relaxation class; round-5 semiring-generic
+   * routed row) ---- */
+  OK(GrB_mxv(y, NULL, NULL, GrB_MIN_PLUS_SEMIRING_FP32, S, x, NULL));
+  OK(GrB_Vector_wait(y, GrB_MATERIALIZE));  /* warm (JIT compile) */
+  t0 = now();
+  for (int r = 0; r < reps; ++r) {
+    OK(GrB_mxv(y, NULL, NULL, GrB_MIN_PLUS_SEMIRING_FP32, S, x, NULL));
+    OK(GrB_Vector_wait(y, GrB_MATERIALIZE));
+  }
+  double mp_s = (now() - t0) / reps;
+  printf("{\"op\": \"spmv_min_plus\", \"s\": %.4f}\n", mp_s);
+
   /* ---- BFS from source 0 (LOR_LAND over bool) ---- */
   GrB_Matrix Sb;
   OK(GrB_Matrix_new(&Sb, GrB_BOOL, n, n));

@@ -394,37 +394,47 @@ def _compose_plan_planes(plan):
     compose: dest tile t', local row r2 = s*rows_pp + j  <->  phase-1
     grid s, out row t'*rows_pp + j  (the mid4 (T,1,rows_pp,128) BlockSpec
     read in ``spmv_route``)."""
+    from ..utils import native as NV
     gp, gs = plan.gp, plan.g
     if gp.ii1 is None:
         return                               # already composed
     T, R1, R2, rows_pp = gp.T, gp.R1, gp.R2, gp.rows_pp
     TR = getattr(gp, "TR", SRT.TILE_R)
-    ii1 = np.asarray(gp.ii1).astype(np.int32)
-    io1 = np.asarray(gp.io1)
-    ii2 = np.asarray(gp.ii2)
-    # --- hi/val <- ii1 ----------------------------------------------------
-    hi = np.asarray(gs.hi)
-    val = np.asarray(gs.val)
-    G = hi.shape[0]                          # W * RBL gather rows
-    g = np.arange(G, dtype=np.int64)
-    i1rows = (g // TR) * R1 + (g % TR)       # per-row lane map of row g
-    sel = ii1[i1rows]
-    gs.hi = jnp.asarray(np.take_along_axis(hi, sel, axis=1))
-    gs.val = jnp.asarray(np.take_along_axis(val, sel, axis=1))
-    if getattr(gs, "val_lo", None) is not None:
-        gs.val_lo = jnp.asarray(
-            np.take_along_axis(np.asarray(gs.val_lo), sel, axis=1))
-    # --- ii2 <- io1 -------------------------------------------------------
-    npp = T * rows_pp
-    tp = np.repeat(np.arange(T, dtype=np.int64), npp)     # dest tile
-    r2 = np.tile(np.arange(npp, dtype=np.int64), T)
-    src_row = (r2 // rows_pp) * R1 + tp * rows_pp + (r2 % rows_pp)
-    ii2_live = ii2.reshape(T, R2, 128)[:, :npp, :].reshape(-1, 128)
-    comp = np.take_along_axis(io1[src_row],
-                              ii2_live.astype(np.int32), axis=1)
-    ii2n = np.array(ii2.reshape(T, R2, 128))
-    ii2n[:, :npp, :] = comp.reshape(T, npp, 128)
-    gp.ii2 = jnp.asarray(ii2n.reshape(T * R2, 128))
+    ii1_8 = np.ascontiguousarray(np.asarray(gp.ii1), np.int8)
+    io1 = np.ascontiguousarray(np.asarray(gp.io1), np.int8)
+    ii2 = np.array(np.asarray(gp.ii2), np.int8)          # writable copy
+    hi = np.array(np.asarray(gs.hi), np.int8)
+    val = np.array(np.asarray(gs.val), np.float32)
+    val_lo = (np.array(np.asarray(gs.val_lo), np.float32)
+              if getattr(gs, "val_lo", None) is not None else None)
+    if NV.compose_gather(hi, val, val_lo, ii1_8, TR, R1)             and NV.compose_ii2(ii2, io1, T, rows_pp, R1, R2):
+        gs.hi = jnp.asarray(hi)
+        gs.val = jnp.asarray(val)
+        if val_lo is not None:
+            gs.val_lo = jnp.asarray(val_lo)
+    else:
+        # --- numpy fallback ----------------------------------------------
+        ii1 = ii1_8.astype(np.int32)
+        G = hi.shape[0]                      # W * RBL gather rows
+        g = np.arange(G, dtype=np.int64)
+        i1rows = (g // TR) * R1 + (g % TR)   # per-row lane map of row g
+        sel = ii1[i1rows]
+        gs.hi = jnp.asarray(np.take_along_axis(hi, sel, axis=1))
+        gs.val = jnp.asarray(np.take_along_axis(val, sel, axis=1))
+        if val_lo is not None:
+            gs.val_lo = jnp.asarray(
+                np.take_along_axis(val_lo, sel, axis=1))
+        npp = T * rows_pp
+        tp = np.repeat(np.arange(T, dtype=np.int64), npp)  # dest tile
+        r2 = np.tile(np.arange(npp, dtype=np.int64), T)
+        src_row = (r2 // rows_pp) * R1 + tp * rows_pp + (r2 % rows_pp)
+        ii2_live = ii2.reshape(T, R2, 128)[:, :npp, :].reshape(-1, 128)
+        comp = np.take_along_axis(io1[src_row],
+                                  ii2_live.astype(np.int32), axis=1)
+        ii2 = np.array(ii2.reshape(T, R2, 128))
+        ii2[:, :npp, :] = comp.reshape(T, npp, 128)
+        ii2 = ii2.reshape(T * R2, 128)
+    gp.ii2 = jnp.asarray(ii2.reshape(T * R2, 128))
     gp.ii1 = None
     gp.io1 = None
 
@@ -447,7 +457,8 @@ class SpmvRoutePlan:
 
     __slots__ = ("g", "gp", "sel_lidx", "sel_bits", "T", "TR", "YT_ROWS",
                  "m", "m_sub", "n", "extra_owner", "_device",
-                 "lastidx8", "samerow8", "cg_stages", "rowstart8")
+                 "lastidx8", "samerow8", "cg_stages", "rowstart8",
+                 "pack_up")
 
     def __init__(self, indptr, indices, values, shape):
         m0, n = shape
@@ -596,7 +607,8 @@ class SpmvRoutePlan:
         flat_rs = (np.arange(T, dtype=np.int64)[:, None] * slots + nxt)[ok_]
         rs.reshape(-1)[flat_rs] = 1
         self.rowstart8 = jnp.asarray(rs.reshape(T * TR, 128))
-        lidx, bits = SRT.monotone_pack_plan(sent_slot, TR)
+        lidx, bits = SRT.monotone_pack_plan_up(sent_slot, TR)
+        self.pack_up = True
         _dbg("sel pack done")
         self.sel_lidx = jnp.asarray(lidx)
         self.sel_bits = jnp.asarray(bits)
@@ -644,6 +656,10 @@ class SpmvRoutePlan:
     @property
     def n_slots(self):
         return self.T * self.TR * 128
+
+    @property
+    def padded_frac(self):
+        return self.n_slots / max(1, self.g.nnz)
 
 
 class StripedSpmvPlan:
@@ -823,14 +839,14 @@ def _register_plan_pytrees():
                  getattr(p, "samerow8", None),
                  getattr(p, "rowstart8", None)),
                 (p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n,
-                 getattr(p, "cg_stages", 0)))
+                 getattr(p, "cg_stages", 0), getattr(p, "pack_up", False)))
 
     def unflat_plan(aux, leaves):
         p = object.__new__(SpmvRoutePlan)
         (p.g, p.gp, p.sel_lidx, p.sel_bits,
          p.extra_owner, p.lastidx8, p.samerow8, p.rowstart8) = leaves
         (p.T, p.TR, p.YT_ROWS, p.m, p.m_sub, p.n,
-         p.cg_stages) = aux
+         p.cg_stages, p.pack_up) = aux
         return p
 
     jax.tree_util.register_pytree_node(SpmvRoutePlan, flat_plan,
@@ -971,6 +987,8 @@ def _plan_blob(plan):
         blob["p_cg_stages"] = np.int64(plan.cg_stages)
     if getattr(plan, "rowstart8", None) is not None:
         blob["rowstart8"] = np.asarray(plan.rowstart8)
+    blob["p_pack_up"] = np.int64(1 if getattr(plan, "pack_up", False)
+                                 else 0)
     return blob
 
 
@@ -1048,8 +1066,47 @@ def load_plan(path) -> "SpmvRoutePlan":
         plan.rowstart8 = jnp.asarray(z["rowstart8"])
     except (KeyError, FileNotFoundError):
         plan.rowstart8 = None        # pre-monoid blob: plus-only plan
+    try:
+        plan.pack_up = bool(int(z["p_pack_up"]))
+    except (KeyError, FileNotFoundError):
+        plan.pack_up = False         # dual-roll pack blob
     _compose_plan_planes(plan)   # no-op on composed-format blobs
     return plan
+
+
+def _pack(x, bits, TR, pack_up):
+    return (SRT._pack_stages_up(x, bits, TR) if pack_up
+            else SRT._pack_stages(x, bits, TR))
+
+
+_NO_MXU_CUMSUM = bool(os.environ.get("GB_NO_MXU_CUMSUM"))
+
+
+def _lane_cumsum_mxu(L):
+    """Inclusive per-sublane-row prefix sum along lanes via THREE exact
+    bf16 planes on the MXU (x = h1+h2+h3 captures all 24 mantissa bits;
+    each plane rides one (R,128)x(128,128) matmul against an upper-
+    triangular ones matrix, f32 accumulation).  Error class matches the
+    7-stage roll cumsum; replaces ~21 VPU ops with MXU work (round-5
+    reduce diet)."""
+    # build the triangular constant through f32: selecting bf16 by an i1
+    # mask forces an (8,128)->(16,128) mask relayout Mosaic cannot lower
+    # on v5e; the f32 select + downcast lowers fine (and pallas forbids
+    # captured device-array constants, so it must be built in-kernel)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    U = (ii <= jj).astype(jnp.float32).astype(jnp.bfloat16)
+
+    def dot(a):
+        return jax.lax.dot_general(a, U, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    h1 = L.astype(jnp.bfloat16)
+    r1 = L - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    r2 = r1 - h2.astype(jnp.float32)
+    h3 = r2.astype(jnp.bfloat16)
+    return dot(h1) + (dot(h2) + dot(h3))
 
 
 def _raster_cumsum(x):
@@ -1075,7 +1132,7 @@ def _raster_cumsum(x):
 
 def _phase2ext_kernel(x_ref, ii_ref, bits_ref, io_ref,
                       slidx_ref, sb_ref, y_ref,
-                      *, dists, R, rows_in, YT_ROWS, TR):
+                      *, dists, R, rows_in, YT_ROWS, TR, pack_up=False):
     x = x_ref[:].reshape(rows_in, 128)
     if rows_in < R:
         x = jnp.concatenate(
@@ -1089,7 +1146,7 @@ def _phase2ext_kernel(x_ref, ii_ref, bits_ref, io_ref,
     # (lane placement gather + monotone concentrator), difference
     cs = _raster_cumsum(tile)
     cs = jnp.take_along_axis(cs, slidx_ref[:].astype(jnp.int32), axis=1)
-    cs = SRT._pack_stages(cs, sb_ref[:], TR)
+    cs = _pack(cs, sb_ref[:], TR, pack_up)
     sel = cs[:YT_ROWS, :]
     a = pltpu.roll(sel, 1, 1)
     b = pltpu.roll(a, 1, 0)
@@ -1102,7 +1159,8 @@ def _phase2ext_kernel(x_ref, ii_ref, bits_ref, io_ref,
 
 def _phase2ext_exact_kernel(x_ref, ii_ref, bits_ref, io_ref,
                             slidx_ref, sb_ref, li_ref, sr_ref, y_ref,
-                            *, dists, R, rows_in, YT_ROWS, TR, cg_stages):
+                            *, dists, R, rows_in, YT_ROWS, TR, cg_stages,
+                            pack_up=False):
     """Exact-reduce variant: the float cumsum stays LOCAL to each 128-lane
     sublane row; cross-row mass rides a (tail, no-sentinel) linear-
     recurrence chain whose terms are row-sized, so row sums never
@@ -1120,12 +1178,16 @@ def _phase2ext_exact_kernel(x_ref, ii_ref, bits_ref, io_ref,
     tile = x[: TR, :]
     lane = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1)
     rowi = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
-    # per-sublane-row inclusive lane cumsum (local prefixes only)
-    L = tile
-    k = 1
-    while k < 128:
-        L = L + jnp.where(lane >= k, pltpu.roll(L, k, 1), 0.0)
-        k *= 2
+    # per-sublane-row inclusive lane cumsum (local prefixes only);
+    # MXU 3-plane matmul unless disabled (GB_NO_MXU_CUMSUM=1)
+    if _NO_MXU_CUMSUM:
+        L = tile
+        k = 1
+        while k < 128:
+            L = L + jnp.where(lane >= k, pltpu.roll(L, k, 1), 0.0)
+            k *= 2
+    else:
+        L = _lane_cumsum_mxu(tile)
     # widen the int8 plan blocks before comparing: Mosaic on v5e cannot
     # lower cmpi on i8 vectors ("Target does not support this comparison")
     li = li_ref[:].astype(jnp.int32)
@@ -1149,7 +1211,7 @@ def _phase2ext_exact_kernel(x_ref, ii_ref, bits_ref, io_ref,
     # sharing the carry (both row-local in magnitude)
     Lp = L + carry
     cs = jnp.take_along_axis(Lp, slidx_ref[:].astype(jnp.int32), axis=1)
-    cs = SRT._pack_stages(cs, sb_ref[:], TR)
+    cs = _pack(cs, sb_ref[:], TR, pack_up)
     sel = cs[:YT_ROWS, :]
     a = pltpu.roll(sel, 1, 1)
     b = pltpu.roll(a, 1, 0)
@@ -1268,7 +1330,7 @@ def _gather_phase1_ds_kernel(xth_ref, xtl_ref, hi_ref, vh_ref, vl_ref,
 def _phase2ext_exact_ds_kernel(xh_ref, xl_ref, ii_ref, bits_ref, io_ref,
                                slidx_ref, sb_ref, li_ref, sr_ref,
                                yh_ref, yl_ref, *, dists, R, rows_in,
-                               YT_ROWS, TR, cg_stages):
+                               YT_ROWS, TR, cg_stages, pack_up=False):
     """Double-single variant of _phase2ext_exact_kernel: same local-prefix
     + carry-chain structure, every float add replaced by a compensated
     TwoSum on the (hi, lo) planes."""
@@ -1314,10 +1376,10 @@ def _phase2ext_exact_ds_kernel(xh_ref, xl_ref, ii_ref, bits_ref, io_ref,
     carl = jnp.where(rowi >= 1, pltpu.roll(cl, 1, 0), 0.0)
     Lh, Ll = _ds_add(Lh, Ll, carh, carl)
     sl = slidx_ref[:].astype(jnp.int32)
-    csh = SRT._pack_stages(jnp.take_along_axis(Lh, sl, axis=1),
-                           sb_ref[:], TR)
-    csl = SRT._pack_stages(jnp.take_along_axis(Ll, sl, axis=1),
-                           sb_ref[:], TR)
+    csh = _pack(jnp.take_along_axis(Lh, sl, axis=1), sb_ref[:], TR,
+                pack_up)
+    csl = _pack(jnp.take_along_axis(Ll, sl, axis=1), sb_ref[:], TR,
+                pack_up)
     selh = csh[:YT_ROWS, :]
     sell = csl[:YT_ROWS, :]
     ah = pltpu.roll(selh, 1, 1)
@@ -1442,7 +1504,8 @@ def spmv_route(x, plan, *, interpret=None, force_legacy=None):
         k2 = functools.partial(_phase2ext_exact_kernel, dists=gp.dists2,
                                R=R2, rows_in=T2 * rows_pp,
                                YT_ROWS=plan.YT_ROWS, TR=TR,
-                               cg_stages=plan.cg_stages)
+                               cg_stages=plan.cg_stages,
+                               pack_up=getattr(plan, "pack_up", False))
         specs2 += [
             pl.BlockSpec((TR, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -1452,7 +1515,8 @@ def spmv_route(x, plan, *, interpret=None, force_legacy=None):
     else:
         k2 = functools.partial(_phase2ext_kernel, dists=gp.dists2, R=R2,
                                rows_in=T2 * rows_pp, YT_ROWS=plan.YT_ROWS,
-                               TR=TR)
+                               TR=TR,
+                               pack_up=getattr(plan, "pack_up", False))
     phase2 = pl.pallas_call(
         k2,
         grid=(T2,),
@@ -1534,7 +1598,8 @@ def spmv_route_ds(x, plan, *, interpret=None):
     k2 = functools.partial(_phase2ext_exact_ds_kernel, dists=gp.dists2,
                            R=R2, rows_in=T2 * rows_pp,
                            YT_ROWS=plan.YT_ROWS, TR=TR,
-                           cg_stages=plan.cg_stages)
+                           cg_stages=plan.cg_stages,
+                           pack_up=getattr(plan, "pack_up", False))
     mid_spec = pl.BlockSpec((T2, 1, rows_pp, 128), lambda t: (0, t, 0, 0),
                             memory_space=pltpu.VMEM)
     y_shape = jax.ShapeDtypeStruct((T2 * plan.YT_ROWS, 128), jnp.float32)
@@ -1622,7 +1687,8 @@ def _gather_phase1_monoid_kernel(xt_ref, hi_ref, val_ref, bits_ref, y_ref,
 
 def _phase2_monoid_kernel(x_ref, ii_ref, bits_ref, io_ref, slidx_ref,
                           sb_ref, rs_ref, y_ref, *, dists, R, rows_in,
-                          YT_ROWS, TR, cstages, ident, add):
+                          YT_ROWS, TR, cstages, ident, add,
+                          pack_up=False):
     """Segmented-scan reduce: rowstart flags restart the scan; cross-
     sublane-row mass rides a (value, has-start) carry chain."""
     x = x_ref[:].reshape(rows_in, 128)
@@ -1659,7 +1725,7 @@ def _phase2_monoid_kernel(x_ref, ii_ref, bits_ref, io_ref, slidx_ref,
     carry = jnp.where(rowi >= 1, pltpu.roll(c, 1, 0), jnp.float32(ident))
     L = jnp.where(F == 0, add(carry, L), L)   # inject into open prefixes
     cs = jnp.take_along_axis(L, slidx_ref[:].astype(jnp.int32), axis=1)
-    cs = SRT._pack_stages(cs, sb_ref[:], TR)
+    cs = _pack(cs, sb_ref[:], TR, pack_up)
     y_ref[:] = cs[:YT_ROWS, :]
 
 
@@ -1746,7 +1812,8 @@ def spmv_route_monoid(x, plan, *, add="min", mul="plus", interpret=None):
         )
     k2 = functools.partial(_phase2_monoid_kernel, dists=gp.dists2, R=R2,
                            rows_in=T2 * rows_pp, YT_ROWS=plan.YT_ROWS,
-                           TR=TR, cstages=cstages, ident=ident, add=addf)
+                           TR=TR, cstages=cstages, ident=ident, add=addf,
+                           pack_up=getattr(plan, "pack_up", False))
     phase2 = pl.pallas_call(
         k2,
         grid=(T2,),

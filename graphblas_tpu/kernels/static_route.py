@@ -328,6 +328,60 @@ def _pack_stages(x, bits, R):
     return x
 
 
+def monotone_pack_plan_up(marked, R, L=128):
+    """UP-ONLY concentrator plan (round-5 pack diet): the k-th marked
+    raster position of tile t is delivered to raster position k using
+    LSB-first OFFSET SUBTRACTION — element at sublane q with destination
+    sublane dq <= q moves up by bit b of (q - dq) at stage 2^b.
+
+    Collision-freeness (proof): within one lane, positions q_i and
+    destinations dq_i are both strictly increasing.  Suppose element 2
+    (at q2, moving) lands on element 1 (at q1, staying) at stage b:
+    then q2 - q1 = 2^b with both remaining offsets ≡ 0 (mod 2^b), and
+    bit b of off1 = 0, of off2 = 1.  But off2 - off1 =
+    (q2 - q1) - (dq2 - dq1) = 2^b - (dq2 - dq1) with 1 <= dq2 - dq1,
+    so |off2 - off1| < 2^b while also ≡ 0 (mod 2^b) — forcing
+    off2 == off1, contradicting the differing bit b.  QED.
+
+    Executor cost: 1 roll + 1 select per stage (_pack_stages_up) vs the
+    dual-roll 2 rolls + 2 selects of _pack_stages.
+    Returns (lidx int8 (T*R, L), bits int32 (T*R, L))."""
+    marked = np.asarray(marked, np.int64)
+    T, K = marked.shape
+    nb = int(np.log2(R))
+    assert (1 << nb) == R and nb <= 31
+    tt = np.repeat(np.arange(T, dtype=np.int64), K)
+    mm = marked.reshape(-1)
+    q = mm >> 7
+    j = np.tile(np.arange(K, dtype=np.int64), T)
+    dest_lane = j & 127
+    dq = j >> 7
+    off = q - dq
+    assert (off >= 0).all(), "monotone_pack_plan_up: downward move"
+    lidx = np.zeros((T * R, L), np.int8)
+    lidx[tt * R + q, dest_lane] = (mm & 127).astype(np.int8)
+    bits = np.zeros((T * R, L), np.int32)
+    pos = q.copy()
+    for b in range(nb):
+        d = np.int64(1) << b
+        take = (off & d) != 0
+        pos = pos - np.where(take, d, 0)
+        bits[tt[take] * R + pos[take], dest_lane[take]] |= np.int32(1 << b)
+    assert np.array_equal(pos, dq), "monotone_pack_plan_up: not converged"
+    return lidx, bits
+
+
+def _pack_stages_up(x, bits, R):
+    """Executor for monotone_pack_plan_up (1 roll + 1 select per stage)."""
+    nb = int(np.log2(R))
+    for b in range(nb):
+        d = 1 << b
+        frombelow = pltpu.roll(x, R - d, 0)       # x[i] <- x[i + d]
+        m = ((bits >> b) & 1) == 1
+        x = jnp.where(m, frombelow, x)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # executors
 # ---------------------------------------------------------------------------

@@ -163,6 +163,18 @@ def _load():
                 ctypes.POINTER(ctypes.c_int8),
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int64)]
+        if hasattr(lib, "gbtpu_compose_gather"):
+            lib.gbtpu_compose_gather.argtypes = [
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+            lib.gbtpu_compose_ii2.argtypes = [
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64]
         _lib = lib
     except Exception:
         _lib = None
@@ -506,6 +518,35 @@ def gather_finalize(key, slot, counts, vv, hi, W: int, RBL: int):
         _ptr(hi_arr, ctypes.c_int8), _ptr(val_arr, ctypes.c_float),
         _ptr(pos, ctypes.c_int64))
     return hi_arr, val_arr, pos
+
+
+def compose_gather(hi: np.ndarray, val: np.ndarray, val_lo,
+                   ii1: np.ndarray, TR: int, R1: int) -> bool:
+    """In-place hi/val[/val_lo] <- lane-gather by ii1 (row-mapped);
+    returns False when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_compose_gather"):
+        return False
+    G = hi.shape[0]
+    lib.gbtpu_compose_gather(
+        _ptr(hi, ctypes.c_int8), _ptr(val, ctypes.c_float),
+        _ptr(val_lo, ctypes.c_float) if val_lo is not None else None,
+        _ptr(np.ascontiguousarray(ii1, np.int8), ctypes.c_int8),
+        G, TR, R1)
+    return True
+
+
+def compose_ii2(ii2: np.ndarray, io1: np.ndarray, T: int, rows_pp: int,
+                R1: int, R2: int) -> bool:
+    """In-place ii2 <- io1[midrow][ii2]; False without the library."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gbtpu_compose_ii2"):
+        return False
+    lib.gbtpu_compose_ii2(
+        _ptr(ii2, ctypes.c_int8),
+        _ptr(np.ascontiguousarray(io1, np.int8), ctypes.c_int8),
+        T, rows_pp, R1, R2)
+    return True
 
 
 def monotone_pack(marked: np.ndarray, R: int):

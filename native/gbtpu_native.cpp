@@ -911,6 +911,52 @@ void gbtpu_gather_finalize(const int64_t* key, const int32_t* slot,
 }
 
 // ---------------------------------------------------------------------------
+// route-plan plane composition (round-5 gather diet): fold the phase-1
+// lane gathers into the plan planes in place.  hi/val[/val_lo] rows are
+// permuted by ii1 (row map g -> (g/TR)*R1 + g%TR); ii2 rows compose with
+// io1 (mid-row map: dest tile tp, local row r2 = s*rows_pp + j  <->
+// io1 row s*R1 + tp*rows_pp + j).  The numpy equivalent cost ~8 s of
+// fancy-indexing at bench scale; these are plain streaming loops.
+// ---------------------------------------------------------------------------
+extern "C" void gbtpu_compose_gather(int8_t* hi, float* val, float* val_lo,
+                                     const int8_t* ii1, int64_t G,
+                                     int64_t TR, int64_t R1) {
+  int8_t th[128];
+  float tv[128], tl[128];
+  for (int64_t g = 0; g < G; ++g) {
+    const int8_t* sel = ii1 + ((g / TR) * R1 + (g % TR)) * 128;
+    int8_t* h = hi + g * 128;
+    float* v = val + g * 128;
+    for (int l = 0; l < 128; ++l) {
+      th[l] = h[sel[l]];
+      tv[l] = v[sel[l]];
+    }
+    memcpy(h, th, 128);
+    memcpy(v, tv, 512);
+    if (val_lo) {
+      float* vl = val_lo + g * 128;
+      for (int l = 0; l < 128; ++l) tl[l] = vl[sel[l]];
+      memcpy(vl, tl, 512);
+    }
+  }
+}
+
+extern "C" void gbtpu_compose_ii2(int8_t* ii2, const int8_t* io1,
+                                  int64_t T, int64_t rows_pp, int64_t R1,
+                                  int64_t R2) {
+  int8_t tmp[128];
+  const int64_t npp = T * rows_pp;
+  for (int64_t tp = 0; tp < T; ++tp)
+    for (int64_t r2 = 0; r2 < npp; ++r2) {
+      const int8_t* a = io1 + ((r2 / rows_pp) * R1 + tp * rows_pp
+                               + (r2 % rows_pp)) * 128;
+      int8_t* b = ii2 + (tp * R2 + r2) * 128;
+      for (int l = 0; l < 128; ++l) tmp[l] = a[b[l]];
+      memcpy(b, tmp, 128);
+    }
+}
+
+// ---------------------------------------------------------------------------
 // spgemm_layout: the SELL SpGEMM layout sweep — one O(m) pass assigning
 // every output row a padded slot range (multiple of SEGW slots, never
 // straddling a sort tile), a rank within its tile (for key packing), and
