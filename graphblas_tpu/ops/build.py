@@ -67,9 +67,9 @@ def build_matrix(cls, rows, cols, vals, shape, dtype, dup, orient, iso):
     # (round-4: checking the device copy pulled 2x8 B/nnz back through
     # the ~15-70 MB/s tunnel — most of a 16.7M build's wall time)
     rows_in, cols_in = rows, cols
-    rows = jnp.asarray(rows, INDEX).reshape(-1)
+    rows = None                       # uploaded lazily (sorted-row diet)
     cols = jnp.asarray(cols, INDEX).reshape(-1)
-    n = rows.shape[0]
+    n = cols.shape[0]
     dup = _resolve_dup(dup)
 
     dt = T.lookup(dtype) if dtype is not None else None
@@ -96,7 +96,8 @@ def build_matrix(cls, rows, cols, vals, shape, dtype, dup, orient, iso):
             rnp = np.asarray(rows_in).reshape(-1)
             cnp = np.asarray(cols_in).reshape(-1)
         else:
-            rnp, cnp = np.asarray(rows), np.asarray(cols)
+            rnp = np.asarray(rows_in).reshape(-1)
+            cnp = np.asarray(cols_in).reshape(-1)
     except Exception:
         rnp = cnp = None
     if rnp is not None and rnp.size:
@@ -104,6 +105,21 @@ def build_matrix(cls, rows, cols, vals, shape, dtype, dup, orient, iso):
             raise E.IndexOutOfBounds("build: row index out of range")
         if cnp.min() < 0 or cnp.max() >= ncols:
             raise E.IndexOutOfBounds("build: col index out of range")
+    # sorted-row upload diet (round-5 ask #5): when the host-side rows
+    # are already sorted (the common CSR/COO-dump case), ship per-row
+    # COUNTS (4 B/row) instead of row ids (4 B/nnz) and expand on
+    # device — at 16.7M nnz over a ~70 MB/s remote tunnel that is ~1 s
+    # of the build.  (Reference GB_builder.c step 2 detects sortedness
+    # the same way before deciding whether to sort.)
+    if rows is None and rnp is not None and rnp.size \
+            and rnp.dtype.kind in "iu" and np.all(np.diff(rnp) >= 0):
+        counts_h = np.bincount(rnp, minlength=nrows).astype(np.int64)
+        ip0 = jnp.concatenate([
+            jnp.zeros(1, INDEX),
+            jnp.cumsum(jnp.asarray(counts_h, INDEX))])
+        rows = K.expand_rowids(ip0, int(rnp.size), nrows)
+    if rows is None:
+        rows = jnp.asarray(rows_in, INDEX).reshape(-1)
 
     if orient == ROW:
         vec_ids, idx, nvec, veclen = rows, cols, nrows, ncols

@@ -607,6 +607,24 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
                "second" if mname == "GrB_SECOND" else "general")
     nnzA = int(Ar.indices.shape[0])
     nnzB = int(Br.indices.shape[0])
+    # ---- prep cache (the hyper-hash idiom, GB_hyper_hash_build.c:
+    # derived structures built once per operand set, reused while the
+    # operands live).  Everything before pass 1 — table, layout sweep,
+    # entry arrays — is pure in (A, B, mask, semiring mode); repeat
+    # calls on the same operands (triangle counting; iterated SpGEMM)
+    # skip ~45%% of the warm call.
+    _ck = (id(Ar.indptr), id(Ar.indices), id(Ar.values),
+           id(Br.indptr), id(Br.indices), id(Br.values),
+           (id(mask.indptr) if mask is not None and
+            hasattr(mask, "indptr") else None),
+           bool(desc.mask_structure), bool(desc.mask_complement),
+           mode_av, kdt_name, int(m), int(n))
+    _ce = _prep_cache.get(_ck)
+    if _ce is not None and _ce[0] is Ar.indptr and _ce[1] is Br.indptr:
+        pv = _ce[2]
+        return _sell_pass1_and_out(
+            Ar, Br, sr, zt, mask, desc, interpret, classic_rows,
+            reduce_scalar, pv, kdt_np, logical, kdt_name, mode_av, m, n)
 
     # ---- phase A: one jitted dispatch for every pre-layout reduction ------
     # (segment bases for B, per-entry segment counts for A, per-row mask
@@ -770,6 +788,35 @@ def spgemm_sell(Ar, Br, ip_h, F, sr, zt, m, n, mask, desc, interpret,
     }
 
     _sdbg("entry arrays", ent["runstartseg"])
+    pv = {"tblj": tblj, "tblv": tblv, "ent": ent, "tokd": tokd,
+          "rows_dev": rows_dev, "blocks": blocks, "S8": S8,
+          "E_BLK": E_BLK, "R_BLK": R_BLK, "nblk_pad": nblk_pad,
+          "D_ALLOC": D_ALLOC, "fb_rows": fb_rows, "starts_h": starts_h,
+          "row_nseg_h": row_nseg_h, "masked": masked, "D_pad": D_pad,
+          "nsegB_tot": nsegB_tot, "nsegM_tot": nsegM_tot,
+          "row_load_h": row_load_h, "rank_d": rank_d}
+    if len(_prep_cache) > 4:
+        _prep_cache.clear()
+    _prep_cache[_ck] = (Ar.indptr, Br.indptr, pv)
+    return _sell_pass1_and_out(
+        Ar, Br, sr, zt, mask, desc, interpret, classic_rows,
+        reduce_scalar, pv, kdt_np, logical, kdt_name, mode_av, m, n)
+
+
+_prep_cache: dict = {}
+
+
+def _sell_pass1_and_out(Ar, Br, sr, zt, mask, desc, interpret,
+                        classic_rows, reduce_scalar, pv, kdt_np, logical,
+                        kdt_name, mode_av, m, n):
+    (tblj, tblv, ent, tokd, rows_dev, blocks) = (
+        pv["tblj"], pv["tblv"], pv["ent"], pv["tokd"], pv["rows_dev"],
+        pv["blocks"])
+    (S8, E_BLK, R_BLK, nblk_pad, D_ALLOC, fb_rows, starts_h,
+     row_nseg_h, masked, row_load_h, rank_d) = (
+        pv["S8"], pv["E_BLK"], pv["R_BLK"], pv["nblk_pad"],
+        pv["D_ALLOC"], pv["fb_rows"], pv["starts_h"], pv["row_nseg_h"],
+        pv["masked"], pv["row_load_h"], pv["rank_d"])
     wide = int(n) >= NMAX          # lexicographic 2-plane keys (ask #9)
     sig = (S8, E_BLK, R_BLK, nblk_pad, kdt_name, mode_av, logical,
            masked, bool(desc.mask_complement) if masked else False,
