@@ -30,6 +30,7 @@ REF_1CORE = {
     "triangle_count_s": 1.0761, "spgemm_s": 30.30, "ntri": 647,
     "spgemm_cnnz": 268406919,
     "spmm_dense4_s": 0.1614, "spmspv_s": 0.0074,
+    "spmv_minplus_s": 0.0764,   # min-plus mxv (bench_ref.c, 2026-08-20)
     "transpose_s": 0.4700, "ewiseadd_s": 0.6963, "extract_perm_s": 1.4407,
     "ewiseadd_cnnz": 33553873,
 }

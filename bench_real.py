@@ -48,7 +48,9 @@ def rmat_edges(scale, edge_factor, rng, a=0.57, b=0.19, c=0.19):
 
 # Reference (1-core, this host, solo) on the scale-18 RMAT graph dumped
 # above — measured via experiments/bench_ref.c; None until measured.
-REF_RMAT18 = {"spgemm_s": None, "triangle_count_s": None, "ntri": None}
+# measured 2026-08-20, solo, COMPACT build + runtime JIT warm
+REF_RMAT18 = {"spgemm_s": 216.43, "triangle_count_s": 3.0025,
+              "ntri": 19595360, "spgemm_cnnz": 1278009346}
 
 
 def main():
@@ -182,31 +184,39 @@ def main():
         pass
     A18 = gb.Matrix.from_scipy(S18)
     gb.set_option("burble", True)   # tier-selection evidence in the log
-    C18 = gb.mxm(A18, A18, SR.PLUS_TIMES)          # warm
-    _ = float(np.asarray(jnp.sum(C18.values if hasattr(C18, "values")
-                                 else 0)))
-    t0 = time.perf_counter()
-    C18 = gb.mxm(A18, A18, SR.PLUS_TIMES)
-    cn = int(C18.nvals)
-    gem_s = max(time.perf_counter() - t0 - SYNC_FLOOR_S, 1e-6)
-    ref = REF_RMAT18.get("spgemm_s")
-    out["spgemm_rmat18"] = {
-        "s": round(gem_s, 3), "cnnz": cn, "n": n8, "nnz": int(S18.nnz),
-        "vs_ref_this_host": round(ref / gem_s, 2) if ref else None}
+    try:
+        C18 = gb.mxm(A18, A18, SR.PLUS_TIMES)          # warm
+        cn = int(C18.nvals)
+        del C18
+        t0 = time.perf_counter()
+        C18 = gb.mxm(A18, A18, SR.PLUS_TIMES)
+        cn = int(C18.nvals)
+        gem_s = max(time.perf_counter() - t0 - SYNC_FLOOR_S, 1e-6)
+        del C18
+        ref = REF_RMAT18.get("spgemm_s")
+        out["spgemm_rmat18"] = {
+            "s": round(gem_s, 3), "cnnz": cn, "n": n8,
+            "nnz": int(S18.nnz),
+            "matches_ref_nnz": cn == REF_RMAT18.get("spgemm_cnnz"),
+            "vs_ref_this_host": round(ref / gem_s, 2) if ref else None}
+    except Exception as e:          # 1.28e9 outputs can exceed HBM
+        out["spgemm_rmat18"] = {"error": repr(e)[:200]}
     print(json.dumps({"config": "spgemm_rmat18", **out["spgemm_rmat18"]}),
           flush=True)
 
-    nt = GALG.triangle_count(A18)                  # warm (plans cached)
-    t0 = time.perf_counter()
-    nt = GALG.triangle_count(A18)
-    tc_s = max(time.perf_counter() - t0 - SYNC_FLOOR_S, 1e-6)
+    try:
+        nt = GALG.triangle_count(A18)              # warm (plans cached)
+        t0 = time.perf_counter()
+        nt = GALG.triangle_count(A18)
+        tc_s = max(time.perf_counter() - t0 - SYNC_FLOOR_S, 1e-6)
+        ref = REF_RMAT18.get("triangle_count_s")
+        out["tc_rmat18"] = {
+            "s": round(tc_s, 3), "ntri": int(nt),
+            "matches_ref": int(nt) == REF_RMAT18.get("ntri"),
+            "vs_ref_this_host": round(ref / tc_s, 2) if ref else None}
+    except Exception as e:
+        out["tc_rmat18"] = {"error": repr(e)[:200]}
     gb.set_option("burble", False)
-    ref = REF_RMAT18.get("triangle_count_s")
-    out["tc_rmat18"] = {
-        "s": round(tc_s, 3), "ntri": int(nt),
-        "matches_ref": (int(nt) == REF_RMAT18.get("ntri")
-                        if REF_RMAT18.get("ntri") is not None else None),
-        "vs_ref_this_host": round(ref / tc_s, 2) if ref else None}
     print(json.dumps({"config": "tc_rmat18", **out["tc_rmat18"]}),
           flush=True)
 

@@ -207,8 +207,9 @@ def _kernel(rc_ref, cenc_ref, renc_ref, val_ref, xhi_ref, xlo_ref, y_ref,
         y_ref[ys, :] = y_ref[ys, :] + y2
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _run_inner(rc, cenc, renc, val, xpad2, cap, nr, nc, nchunks):
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def _run_inner(rc, cenc, renc, val, xpad2, cap, nr, nc, nchunks,
+               interpret=False):
     # split x for exact-fp32 MXU feed; the hi part is produced by integer
     # mantissa masking, NOT by a bf16 round-trip — XLA runs with
     # --xla_allow_excess_precision, which elides f32->bf16->f32 round-trips
@@ -239,23 +240,29 @@ def _run_inner(rc, cenc, renc, val, xpad2, cap, nr, nc, nchunks):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nr * 64, 128), jnp.float32),
+        interpret=interpret,
     )(rc, cenc, renc, val, xhi, xlo)
     return y
 
 
-def _run(rc, cenc, renc, val, xpad2, cap, nr, nc, nchunks):
+def _run(rc, cenc, renc, val, xpad2, cap, nr, nc, nchunks,
+         interpret=False):
     # trace in strict-int32 mode: Mosaic cannot lower the int64 index math
     # that jax_enable_x64 (required by the GraphBLAS type system) injects
     with jax.enable_x64(False):
-        return _run_inner(rc, cenc, renc, val, xpad2, cap, nr, nc, nchunks)
+        return _run_inner(rc, cenc, renc, val, xpad2, cap, nr, nc,
+                          nchunks, interpret)
 
 
-def spmv(indptr, indices, values, x, m: int):
+def spmv(indptr, indices, values, x, m: int, interpret=None):
     """y = A @ x (plus-times, fp32-class accuracy) via the bucket-grid
-    one-hot kernel."""
+    one-hot kernel.  ``interpret=None`` auto-selects interpret mode on
+    the CPU backend so the tier stays testable on the CI mesh."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     p = plan_for(indptr, indices, values, (m, int(x.shape[0])))
     npad = p.nc * STRIP
     xpad = jnp.pad(x.astype(jnp.float32), (0, npad - x.shape[0]))
     y = _run(p.rc, p.cenc, p.renc, p.val, xpad.reshape(p.nc * 64, 128),
-             p.cap, p.nr, p.nc, p.nchunks)
+             p.cap, p.nr, p.nc, p.nchunks, bool(interpret))
     return y.reshape(-1)[:m].astype(x.dtype)
