@@ -49,6 +49,11 @@ INDEX = np.int32  # index dtype; per-shard nnz < 2^31 (distributed shards
 #                   keep this true even for pod-scale graphs)
 
 
+def _ident_op():
+    from . import ops as _OPS
+    return _OPS.IDENTITY
+
+
 def _np(x):
     return np.asarray(x)
 
@@ -383,8 +388,15 @@ class Matrix:
         return isinstance(x, (int, np.integer))
 
     def __getitem__(self, ij):
-        """A[i, j] -> element; A[I, J] with slices/lists -> extract
-        (the @GrB-style indexing sugar; reference: GraphBLAS/@GrB)."""
+        """A[i, j] -> element; A[I, J] with slices/lists -> extract;
+        A[M] with a Matrix/bool mask -> masked extract C<M>=A (the
+        @GrB-style indexing sugar; reference: GraphBLAS/@GrB, logical
+        indexing via gblogassign.c/gblogextract.c)."""
+        from .. import api
+        if isinstance(ij, Matrix):
+            from .descriptor import Descriptor
+            return api.apply(self, _ident_op(), mask=ij,
+                            desc=Descriptor(mask_structure=True))
         i, j = ij
         if self._is_point(i) and self._is_point(j):
             return self.extract_element(i, j)
@@ -394,6 +406,16 @@ class Matrix:
         return api.extract(self, I, J)
 
     def __setitem__(self, ij, value):
+        if isinstance(ij, Matrix):
+            # logical mask assign C(M) = x (the reference's headline
+            # @GrB case, gblogassign.c — "C(M)=A in 0.8 s vs MATLAB
+            # 4-5 days"): scalar -> masked scalar assign (method-05d
+            # class); Matrix -> masked assign over ALL
+            from .. import api
+            from .descriptor import Descriptor
+            d = Descriptor(mask_structure=True)
+            api.assign(self, value, mask=ij, desc=d)
+            return
         i, j = ij
         if self._is_point(i) and self._is_point(j) and np.isscalar(value):
             self.set_element(i, j, value)

@@ -187,3 +187,21 @@ def test_col_iterator_and_vector_diag(rng):
     want = np.diag(D.toarray())
     np.testing.assert_allclose(np.where(np.asarray(dp), np.asarray(dv), 0),
                                want)
+
+
+def test_logical_mask_indexing():
+    """@GrB logical indexing: A[M] = x and A[M] extraction (reference:
+    GraphBLAS/@GrB/private/mexfunctions/gblogassign.c — the headline
+    'C(M)=A in 0.8 s vs MATLAB days' case)."""
+    import graphblas_tpu as gb
+    A = gb.Matrix.from_coo([0, 1, 2], [0, 1, 2], [1., 2., 3.], (3, 3))
+    M = gb.Matrix.from_coo([0, 2], [0, 2], [True, True], (3, 3))
+    A[M] = 9.0
+    got = A.to_scipy().toarray()
+    assert got[0, 0] == 9.0 and got[1, 1] == 2.0 and got[2, 2] == 9.0
+    B = A[M]
+    b = B.to_scipy().toarray()
+    assert b[0, 0] == 9.0 and b[1, 1] == 0.0
+    X = gb.Matrix.from_coo([0, 2], [0, 2], [7.0, 8.0], (3, 3))
+    A[M] = X
+    assert A.to_scipy().toarray()[2, 2] == 8.0
