@@ -41,7 +41,7 @@ def _time_chained(fn, *args):
     y = fn(*args)
     _ = float(np.asarray(jnp.sum(y)))          # compile + warm
     best = np.inf
-    for _i in range(2):
+    for _i in range(3):     # per-op minimum (same policy as REF_1CORE)
         t0 = time.perf_counter()
         y = fn(*args)
         _ = float(np.asarray(jnp.sum(y)))

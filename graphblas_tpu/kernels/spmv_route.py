@@ -254,6 +254,19 @@ def _gather_kernel(xt_ref, hi_ref, val_ref, out_ref, *, RB):
     out_ref[:] = g * val_ref[:]
 
 
+def _fuse_geometry(gs, TR):
+    """(fuse, wpt, win_block_rows, win_index_div) for the fused gather:
+    RBL >= TR -> one window strip serves RBL/TR tiles (wpt=1, index
+    t // ratio); RBL < TR -> each tile spans TR/RBL windows (wpt > 1,
+    block of wpt strips at index t)."""
+    RBL = gs.RBL
+    if RBL % TR == 0:
+        return True, 1, 128, RBL // TR
+    if TR % RBL == 0:
+        return True, TR // RBL, (TR // RBL) * 128, 1
+    return False, 1, 128, 1
+
+
 def _auto_interpret(interpret):
     if interpret is None:
         return jax.default_backend() == "cpu"
@@ -1220,16 +1233,29 @@ def _phase2ext_exact_kernel(x_ref, ii_ref, bits_ref, io_ref,
     y_ref[:] = sel - jnp.where(sr_ref[:].astype(jnp.int32) != 0, prev, 0.0)
 
 
+def _xt_table(xt, rows_in, wpt, rbl):
+    """Window table covering one route tile: with wpt == 1 the tile
+    lives in one window strip (tab = tile(strip)); with wpt > 1 (striped
+    tail plans where RBL < TR) the tile spans wpt consecutive windows —
+    stack each strip tiled over its RBL-row sub-block."""
+    if wpt == 1:
+        return jnp.tile(xt, (rows_in // 128, 1))
+    xt3 = xt.reshape(wpt, 128, 128)
+    return jnp.concatenate(
+        [jnp.tile(xt3[k], (rbl // 128, 1)) for k in range(wpt)], axis=0)
+
+
 def _gather_phase1_kernel(xt_ref, hi_ref, val_ref, bits_ref,
-                          y_ref, *, dists, R, rows_in, rows_out):
+                          y_ref, *, dists, R, rows_in, rows_out, wpt=1,
+                          rbl=0):
     """Fused stage A + phase 1: products never round-trip through HBM
     (saves 8 B/slot of traffic — the single largest block after the plan
-    arrays).  Valid when every route tile maps into one gather window
-    (RBL % TR == 0) and the gather domain covers the route domain.
-    The phase-1 lane gathers are plan-composed away (ii1 folded into
-    hi/val, io1 into phase-2's ii2 — see _compose_plan_planes)."""
-    xt = xt_ref[:]                               # (128,128) window strip
-    tab = jnp.tile(xt, (rows_in // 128, 1))      # row s -> residue s % 128
+    arrays).  Valid when route tiles and gather windows nest either way
+    (RBL %% TR == 0, one-or-more tiles per window, or TR %% RBL == 0,
+    wpt windows per tile — the striped tail case) and the gather domain
+    covers the route domain.  The phase-1 lane gathers are plan-composed
+    away (ii1 folded into hi/val, io1 into phase-2's ii2)."""
+    tab = _xt_table(xt_ref[:], rows_in, wpt, rbl)
     idx = jnp.maximum(hi_ref[:].astype(jnp.int32), 0)  # -1 = dummy slot
     g = jnp.take_along_axis(tab, idx, axis=1)
     x = g * val_ref[:]
@@ -1305,14 +1331,16 @@ def _ds_add(h1, l1, h2, l2):
 
 def _gather_phase1_ds_kernel(xth_ref, xtl_ref, hi_ref, vh_ref, vl_ref,
                              bits_ref, yh_ref, yl_ref,
-                             *, dists, R, rows_in, rows_out):
+                             *, dists, R, rows_in, rows_out, wpt=1,
+                             rbl=0):
     """Fused gather + TwoProd + phase-1 route on (hi, lo) planes.  The
     plan blocks (hi/bits) load ONCE and route both planes; the phase-1
     lane gathers are plan-composed away (see _compose_plan_planes)."""
     idx = jnp.maximum(hi_ref[:].astype(jnp.int32), 0)  # -1 = dummy slot
-    reps = rows_in // 128
-    gh = jnp.take_along_axis(jnp.tile(xth_ref[:], (reps, 1)), idx, axis=1)
-    gl = jnp.take_along_axis(jnp.tile(xtl_ref[:], (reps, 1)), idx, axis=1)
+    gh = jnp.take_along_axis(_xt_table(xth_ref[:], rows_in, wpt, rbl),
+                             idx, axis=1)
+    gl = jnp.take_along_axis(_xt_table(xtl_ref[:], rows_in, wpt, rbl),
+                             idx, axis=1)
     vh = vh_ref[:]
     ph, pe = _two_prod(vh, gh)
     pl_ = pe + (vh * gl + vl_ref[:] * gh)
@@ -1433,18 +1461,19 @@ def spmv_route(x, plan, *, interpret=None, force_legacy=None):
     N_dst = T2 * TR * 128
     gs = plan.g
     N_src = gs.W * gs.RBL * 128
-    fuse = (gs.RBL % TR == 0) and (N_src == N_dst) and not legacy
+    can_fuse, wpt, win_rows, ratio = _fuse_geometry(gs, TR)
+    fuse = can_fuse and (N_src == N_dst) and not legacy
     cp = (None if interpret else
           pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024))
     if fuse:
-        ratio = gs.RBL // TR
         k1 = functools.partial(_gather_phase1_kernel, dists=gp.dists1,
-                               R=R1, rows_in=TR, rows_out=T2 * rows_pp)
+                               R=R1, rows_in=TR, rows_out=T2 * rows_pp,
+                               wpt=wpt, rbl=gs.RBL)
         phase1 = pl.pallas_call(
             k1,
             grid=(T2,),
             in_specs=[
-                pl.BlockSpec((128, 128), lambda t: (t // ratio, 0),
+                pl.BlockSpec((win_rows, 128), lambda t: (t // ratio, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TR, 128), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
@@ -1572,16 +1601,17 @@ def spmv_route_ds(x, plan, *, interpret=None):
     rows_pp = gp.rows_pp
     N_dst = T2 * TR * 128
     N_src = gs.W * gs.RBL * 128
-    if not ((gs.RBL % TR == 0) and (N_src == N_dst)):
+    can_fuse, wpt, win_rows, ratio = _fuse_geometry(gs, TR)
+    if not (can_fuse and (N_src == N_dst)):
         return None
-    ratio = gs.RBL // TR
     cp = (None if interpret else
           pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024))
     k1 = functools.partial(_gather_phase1_ds_kernel, dists=gp.dists1,
-                           R=R1, rows_in=TR, rows_out=T2 * rows_pp)
+                           R=R1, rows_in=TR, rows_out=T2 * rows_pp,
+                           wpt=wpt, rbl=gs.RBL)
     bspec = lambda r: pl.BlockSpec((r, 128), lambda t: (t, 0),  # noqa: E731
                                    memory_space=pltpu.VMEM)
-    win_spec = pl.BlockSpec((128, 128), lambda t: (t // ratio, 0),
+    win_spec = pl.BlockSpec((win_rows, 128), lambda t: (t // ratio, 0),
                             memory_space=pltpu.VMEM)
     mid_shape = jax.ShapeDtypeStruct((T2 * T2 * rows_pp, 128), jnp.float32)
     phase1 = pl.pallas_call(
@@ -1671,9 +1701,8 @@ MULT_FNS = {
 
 def _gather_phase1_monoid_kernel(xt_ref, hi_ref, val_ref, bits_ref, y_ref,
                                  *, dists, R, rows_in, rows_out, ident,
-                                 mul):
-    xt = xt_ref[:]
-    tab = jnp.tile(xt, (rows_in // 128, 1))
+                                 mul, wpt=1, rbl=0):
+    tab = _xt_table(xt_ref[:], rows_in, wpt, rbl)
     idxr = hi_ref[:].astype(jnp.int32)
     g = jnp.take_along_axis(tab, jnp.maximum(idxr, 0), axis=1)
     p = mul(g, val_ref[:])
@@ -1760,23 +1789,23 @@ def spmv_route_monoid(x, plan, *, add="min", mul="plus", interpret=None):
     rows_pp = gp.rows_pp
     N_dst = T2 * TR * 128
     N_src = gs.W * gs.RBL * 128
-    fuse = (gs.RBL % TR == 0) and (N_src == N_dst)
+    can_fuse, wpt, win_rows, ratio = _fuse_geometry(gs, TR)
+    fuse = can_fuse and (N_src == N_dst)
     cp = (None if interpret else
           pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024))
     cstages = min(plan.cg_stages + 1, int(np.log2(TR)))
     bspec = lambda r: pl.BlockSpec((r, 128), lambda t: (t, 0),  # noqa: E731
                                    memory_space=pltpu.VMEM)
     if fuse:
-        ratio = gs.RBL // TR
         k1 = functools.partial(_gather_phase1_monoid_kernel,
                                dists=gp.dists1, R=R1, rows_in=TR,
                                rows_out=T2 * rows_pp, ident=ident,
-                               mul=mulf)
+                               mul=mulf, wpt=wpt, rbl=gs.RBL)
         phase1 = pl.pallas_call(
             k1,
             grid=(T2,),
             in_specs=[
-                pl.BlockSpec((128, 128), lambda t: (t // ratio, 0),
+                pl.BlockSpec((win_rows, 128), lambda t: (t // ratio, 0),
                              memory_space=pltpu.VMEM),
                 bspec(TR), bspec(TR), bspec(R1),
             ],

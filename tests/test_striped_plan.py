@@ -77,3 +77,26 @@ def test_striped_plan_ds(monkeypatch):
     want = S @ x.astype(np.float64)
     err = np.abs(np.asarray(y) - want).max() / (np.abs(want).max() + 1e-30)
     assert err < 1e-12, err
+
+
+@pytest.mark.slow
+def test_multiwindow_fused_tiles():
+    """RBL < TR (striped tail geometry): route tiles span wpt windows;
+    the fused gather stacks wpt window strips (f32 + double-single +
+    monoid all served -- the round-5 regression where the DS tier
+    returned None on the tail stripe)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    m, n = 20_000, 262_144
+    S = sp.random(m, n, density=24.0 / n, format="csr", random_state=8,
+                  dtype=np.float64)
+    plan = SPRT.SpmvRoutePlan(S.indptr, S.indices, S.data, (m, n))
+    fuse, wpt, _, _ = SPRT._fuse_geometry(plan.g, plan.gp.TR)
+    assert fuse and wpt > 1
+    x = rng.standard_normal(n).astype(np.float32)
+    want = S @ x.astype(np.float64)
+    y = np.asarray(SPRT.spmv_route(jnp.asarray(x), plan))
+    assert np.abs(y - want).max() / np.abs(want).max() < 1e-4
+    yd = SPRT.spmv_route_ds(jnp.asarray(x), plan)
+    assert yd is not None
+    assert np.abs(np.asarray(yd) - want).max() / np.abs(want).max() < 1e-9
