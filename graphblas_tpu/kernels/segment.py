@@ -335,13 +335,19 @@ def _merge_phase2(order, skeys, tag_b, gid, valsA, valsB, ng):
     # gather each element's value from its source array
     posA = jnp.clip(order, 0, max(nA - 1, 0))
     posB = jnp.clip(order - nA, 0, max(valsB.shape[0] - 1, 0))
-    va = valsA[posA] if nA else jnp.zeros(order.shape, valsA.dtype)
-    vb = valsB[posB] if valsB.shape[0] else jnp.zeros(order.shape, valsB.dtype)
+    trailA = valsA.shape[1:]       # struct-type trailing field dims
+    trailB = valsB.shape[1:]
+    va = valsA[posA] if nA else jnp.zeros(order.shape + trailA,
+                                          valsA.dtype)
+    vb = valsB[posB] if valsB.shape[0] else jnp.zeros(
+        order.shape + trailB, valsB.dtype)
     drop = ng  # out-of-range target -> dropped
     tgtA = jnp.where(~tag_b, gid, drop)
     tgtB = jnp.where(tag_b, gid, drop)
-    outA = jnp.zeros((ng,), valsA.dtype).at[tgtA].set(va, mode="drop")
-    outB = jnp.zeros((ng,), valsB.dtype).at[tgtB].set(vb, mode="drop")
+    outA = jnp.zeros((ng,) + trailA, valsA.dtype).at[tgtA].set(
+        va, mode="drop")
+    outB = jnp.zeros((ng,) + trailB, valsB.dtype).at[tgtB].set(
+        vb, mode="drop")
     inA = jnp.zeros((ng,), bool).at[tgtA].set(True, mode="drop")
     inB = jnp.zeros((ng,), bool).at[tgtB].set(True, mode="drop")
     # duplicate writes carry equal keys, so write order is immaterial
