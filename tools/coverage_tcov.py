@@ -25,7 +25,7 @@ import json
 import os
 import sys
 
-FLOOR_PCT = 90.0   # round-5: measured 90.11% (COVERAGE.json)
+FLOOR_PCT = 91.0   # round-5 final: measured 91.56% (COVERAGE.json)
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(HERE, "graphblas_tpu")
